@@ -1,0 +1,72 @@
+"""Public SNARK API (reference ``src/lib.rs`` ``Polymath<E, T>``).
+
+    pm = Polymath(transcript=MerlinFieldTranscript, backend="auto")
+    pk, vk = pm.setup(circuit, rng)
+    proof = pm.prove(pk, circuit, rng)
+    assert pm.verify(vk, [public_input, ...], proof)
+
+Backends: "host" (pure-Python oracle, small circuits), "jax" (TPU device
+path for NTT/MSM bulk work), "auto" (jax when available, else host).
+"""
+
+from __future__ import annotations
+
+import random
+
+from ..transcript.transcripts import MerlinFieldTranscript
+from . import generator as _generator
+from . import prover as _prover
+from . import verifier as _verifier
+
+
+class PolymathError(Exception):
+    pass
+
+
+class Rng:
+    """Seedable RNG façade (replaces ark_std StdRng; not byte-compatible —
+    trapdoors/blinding are random either way)."""
+
+    def __init__(self, seed=None):
+        self._r = random.Random(seed)
+
+    def randrange(self, *args):
+        return self._r.randrange(*args)
+
+
+class Polymath:
+    def __init__(self, transcript=MerlinFieldTranscript, backend: str = "auto"):
+        self.transcript = transcript
+        if backend == "auto":
+            try:
+                from ..ops import backend_available
+                backend = "jax" if backend_available() else "host"
+            except Exception:
+                backend = "host"
+        self.backend = backend
+
+    # -- setup ------------------------------------------------------------
+    def setup(self, circuit, rng=None):
+        rng = rng or Rng()
+        if self.backend == "jax":
+            from ..ops.srs import device_scalar_mul_backend
+            pk = _generator.generate_proving_key(
+                circuit, rng, scalar_mul_backend=device_scalar_mul_backend)
+        else:
+            pk = _generator.generate_proving_key(circuit, rng)
+        return pk, pk.vk
+
+    # -- prove ------------------------------------------------------------
+    def prove(self, pk, circuit, rng=None):
+        rng = rng or Rng()
+        if self.backend == "jax":
+            from ..ops.prover_jax import create_proof_device
+            return create_proof_device(circuit, pk, rng, self.transcript)
+        return _prover.create_proof(circuit, pk, rng, self.transcript)
+
+    # -- verify -----------------------------------------------------------
+    def process_vk(self, vk):
+        return vk
+
+    def verify(self, vk, public_inputs, proof) -> bool:
+        return _verifier.verify_proof(vk, proof, public_inputs, self.transcript)
