@@ -1,4 +1,29 @@
-"""Device (JAX/XLA/Pallas) compute substrate."""
+"""Device (JAX/XLA/Pallas) compute substrate.
+
+Importing this package enables the persistent XLA compilation cache: the
+prover's kernels (MSM chunk programs, NTT stages, fixed-base tables) are
+heavyweight compiles (minutes) but fully shape-stable, so they amortize to
+zero across processes.
+"""
+
+import os
+
+
+def _enable_compile_cache():
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "POLYMATH_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "polymath_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
 
 
 def backend_available() -> bool:

@@ -1,0 +1,241 @@
+"""Batched G1 point arithmetic on device (Jacobian over Fq limbs).
+
+Replaces arkworks ``ark-ec`` short-Weierstrass group law (SURVEY.md §2.2)
+for bulk prover work.  Points are pytrees ``(X, Y, Z)`` of (24, ...batch)
+uint32 Montgomery limb arrays; the identity is Z == 0.  All degenerate
+cases (identity operands, doubling, inverse pair) are resolved with
+branchless selects so the kernels batch cleanly — required because the MSM
+segmented scan feeds arbitrary point pairs through one combine function.
+
+BLS12-381 G1 has no 2-torsion (odd cofactor), so Y != 0 always and the
+doubling formula is total.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..hostmath import bls12_381 as bls
+from .limbs import FQ_SPEC, ints_to_limbs, limbs_to_ints
+from .field_jax import FQ
+
+
+def jac_identity(shape=()):
+    one = FQ.ones_mont(shape)
+    return (one, one, FQ.zeros(shape))
+
+
+def affine_to_jac(xy):
+    """(X, Y) affine limb arrays (no infinities) -> jacobian."""
+    X, Y = xy
+    return (X, Y, FQ.ones_mont(X.shape[1:]))
+
+
+def is_identity(p):
+    return FQ.is_zero(p[2])
+
+
+def select_point(mask, a, b):
+    """mask (...) bool: a where True else b (per point)."""
+    m = mask[None]
+    return tuple(jnp.where(m, ai, bi) for ai, bi in zip(a, b))
+
+
+def jac_double(p):
+    """Doubling; Pallas-fused on TPU for large batches."""
+    from ..utils.config import use_pallas
+    if use_pallas():
+        from .pallas_curve import jac_double_fused
+        if int(np.prod(p[0].shape[1:])) >= 128:
+            return jac_double_fused(p)
+    return jac_double_core(p)
+
+
+def jac_double_core(p):
+    """dbl-2009-l (a=0): 2M + 5S.  Total: identity doubles to identity."""
+    X1, Y1, Z1 = p
+    A = FQ.mont_sqr(X1)
+    B = FQ.mont_sqr(Y1)
+    C = FQ.mont_sqr(B)
+    t = FQ.mont_sqr(FQ.add(X1, B))
+    D = FQ.add(FQ.sub(FQ.sub(t, A), C), FQ.sub(FQ.sub(t, A), C))
+    E = FQ.add(FQ.add(A, A), A)
+    F = FQ.mont_sqr(E)
+    X3 = FQ.sub(FQ.sub(F, D), D)
+    C8 = FQ.add(C, C)
+    C8 = FQ.add(C8, C8)
+    C8 = FQ.add(C8, C8)
+    Y3 = FQ.sub(FQ.mont_mul(E, FQ.sub(D, X3)), C8)
+    Z3 = FQ.mont_mul(FQ.add(Y1, Y1), Z1)
+    return (X3, Y3, Z3)
+
+
+def jac_add(p, q):
+    """General Jacobian addition; dispatches to the fused Pallas kernel on
+    TPU (one HLO op — keeps MSM/scan graphs compilable) or the pure-jnp
+    formulas elsewhere.  Both paths share jac_add_core."""
+    from ..utils.config import use_pallas
+    if use_pallas():
+        from .pallas_curve import jac_add_fused
+        shape = jnp.broadcast_shapes(p[0].shape, q[0].shape)
+        if int(np.prod(shape[1:])) >= 128:
+            p = tuple(jnp.broadcast_to(a, shape) for a in p)
+            q = tuple(jnp.broadcast_to(a, shape) for a in q)
+            return jac_add_fused(p, q)
+    return jac_add_core(p, q)
+
+
+def jac_add_core(p, q):
+    """add-2007-bl general Jacobian addition with full degenerate handling
+    (identity operands, P == Q -> double, P == -Q -> identity)."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    Z1Z1 = FQ.mont_sqr(Z1)
+    Z2Z2 = FQ.mont_sqr(Z2)
+    U1 = FQ.mont_mul(X1, Z2Z2)
+    U2 = FQ.mont_mul(X2, Z1Z1)
+    S1 = FQ.mont_mul(FQ.mont_mul(Y1, Z2), Z2Z2)
+    S2 = FQ.mont_mul(FQ.mont_mul(Y2, Z1), Z1Z1)
+    H = FQ.sub(U2, U1)
+    HH = FQ.mont_sqr(FQ.add(H, H))          # I = (2H)^2
+    J = FQ.mont_mul(H, HH)
+    rr = FQ.sub(S2, S1)
+    rr = FQ.add(rr, rr)
+    V = FQ.mont_mul(U1, HH)
+    X3 = FQ.sub(FQ.sub(FQ.mont_sqr(rr), J), FQ.add(V, V))
+    S1J = FQ.mont_mul(S1, J)
+    Y3 = FQ.sub(FQ.mont_mul(rr, FQ.sub(V, X3)), FQ.add(S1J, S1J))
+    ZZ = FQ.sub(FQ.sub(FQ.mont_sqr(FQ.add(Z1, Z2)), Z1Z1), Z2Z2)
+    Z3 = FQ.mont_mul(ZZ, H)
+    out = (X3, Y3, Z3)
+
+    p_inf = is_identity(p)
+    q_inf = is_identity(q)
+    h_zero = FQ.eq(U1, U2)
+    r_zero = FQ.eq(S1, S2)
+    # H == 0, r == 0 -> doubling;  H == 0, r != 0 -> identity
+    out = select_point(h_zero & r_zero, jac_double_core(p), out)
+    out = select_point(h_zero & ~r_zero & ~p_inf & ~q_inf,
+                       jac_identity(X3.shape[1:]), out)
+    out = select_point(q_inf, p, out)
+    out = select_point(p_inf, q, out)
+    return out
+
+
+def jac_neg(p):
+    X, Y, Z = p
+    return (X, FQ.neg(Y), Z)
+
+
+# -- graph-lean batched reductions ------------------------------------------
+# These keep the number of jac_add instances in the traced graph small
+# (compile time on TPU scales with HLO op count; one jac_add is ~10^4 ops).
+
+def fold_sum_jac(pj, seq: int = 64):
+    """Total sum of a jacobian batch along the trailing axis.
+
+    Reshapes (.., n) -> (.., n/seq, seq) and folds the seq axis with ONE
+    lax.scan jac_add instance; recurses on the n/seq partials.
+    """
+    import jax
+
+    n = pj[0].shape[-1]
+    if n == 1:
+        return pj
+    if n <= seq:
+        xs = tuple(jnp.moveaxis(a, -1, 0)[..., None] for a in pj)
+        acc0 = jac_identity(pj[0].shape[1:-1] + (1,))
+
+        def body(acc, x):
+            return jac_add(acc, x), None
+
+        acc, _ = jax.lax.scan(body, acc0, xs)
+        return acc
+    pad = (-n) % seq
+    if pad:
+        idn = jac_identity(pj[0].shape[1:-1] + (pad,))
+        pj = tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(pj, idn))
+        n += pad
+    rows = n // seq
+    pr = tuple(a.reshape(a.shape[:-1] + (rows, seq)) for a in pj)
+    xs = tuple(jnp.moveaxis(a, -1, 0) for a in pr)  # (seq, ..., rows)
+    acc0 = jac_identity(pj[0].shape[1:-1] + (rows,))
+
+    def body(acc, x):
+        return jac_add(acc, x), None
+
+    acc, _ = jax.lax.scan(body, acc0, xs)
+    return fold_sum_jac(acc, seq)
+
+
+def prefix_scan_jac(pj, seq: int = 64):
+    """Inclusive prefix sum (group law) along the trailing axis, with a
+    fixed-shape two-level decomposition: O(2n) adds, ~2 jac_add graph
+    instances per recursion level (depth <= 3 for n <= 2^18)."""
+    import jax
+
+    n = pj[0].shape[-1]
+    if n <= seq:
+        xs = tuple(jnp.moveaxis(a, -1, 0)[..., None] for a in pj)
+        acc0 = jac_identity(pj[0].shape[1:-1] + (1,))
+
+        def body(acc, x):
+            nxt = jac_add(acc, x)
+            return nxt, nxt
+
+        _, ps = jax.lax.scan(body, acc0, xs)  # (n, L, ..., 1)
+        ps = tuple(jnp.moveaxis(a[..., 0], 0, -1) for a in ps)
+        return ps
+    pad = (-n) % seq
+    if pad:
+        idn = jac_identity(pj[0].shape[1:-1] + (pad,))
+        pj = tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(pj, idn))
+    npad = pj[0].shape[-1]
+    rows = npad // seq
+    pr = tuple(a.reshape(a.shape[:-1] + (rows, seq)) for a in pj)
+    xs = tuple(jnp.moveaxis(a, -1, 0) for a in pr)  # (seq, ..., rows)
+    acc0 = jac_identity(pj[0].shape[1:-1] + (rows,))
+
+    def body(acc, x):
+        nxt = jac_add(acc, x)
+        return nxt, nxt
+
+    totals, local = jax.lax.scan(body, acc0, xs)
+    # local: (seq, ..., rows) inclusive within-row; totals: (..., rows)
+    row_ps = prefix_scan_jac(totals, seq)
+    # exclusive row offsets: shift right by one row
+    idn1 = jac_identity(pj[0].shape[1:-1] + (1,))
+    off = tuple(jnp.concatenate([i1, a[..., :-1]], axis=-1)
+                for i1, a in zip(idn1, row_ps))
+    local = tuple(jnp.moveaxis(a, 0, -1) for a in local)  # (..., rows, seq)
+    ps = jac_add(local, tuple(a[..., None] for a in off))
+    ps = tuple(a.reshape(a.shape[:-2] + (npad,)) for a in ps)
+    return tuple(a[..., :n] for a in ps)
+
+
+# -- host <-> device point conversion ---------------------------------------
+
+def points_to_device(points):
+    """List of host affine G1 points (no identities) -> (X, Y) Montgomery
+    limb arrays (24, N)."""
+    xs = [FQ_SPEC.to_mont_int(p[0].v) for p in points]
+    ys = [FQ_SPEC.to_mont_int(p[1].v) for p in points]
+    return (jnp.asarray(ints_to_limbs(xs, FQ_SPEC.L)),
+            jnp.asarray(ints_to_limbs(ys, FQ_SPEC.L)))
+
+
+def jac_to_host(p):
+    """Device jacobian point(s) -> list of host affine points."""
+    X = [FQ_SPEC.from_mont_int(v) for v in limbs_to_ints(np.asarray(p[0]))]
+    Y = [FQ_SPEC.from_mont_int(v) for v in limbs_to_ints(np.asarray(p[1]))]
+    Z = [FQ_SPEC.from_mont_int(v) for v in limbs_to_ints(np.asarray(p[2]))]
+    out = []
+    for x, y, z in zip(X, Y, Z):
+        if z == 0:
+            out.append(None)
+            continue
+        zi = pow(z, bls.Q - 2, bls.Q)
+        zi2 = zi * zi % bls.Q
+        out.append((bls.Fq(x * zi2 % bls.Q), bls.Fq(y * zi2 % bls.Q * zi % bls.Q)))
+    return out

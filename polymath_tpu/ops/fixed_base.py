@@ -1,0 +1,135 @@
+"""Fixed-base batch scalar multiplication on device (SRS generation).
+
+Replaces the reference generator's per-element full scalar mul
+(generator.rs:169-177, ~12n scalar muls) with a shared windowed table of
+the G1 generator: table build is 2^c sequential batched adds (vectorized
+across windows), application is `windows` gather+add steps per element —
+O(windows) group adds per SRS element instead of O(256) doublings.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..hostmath import bls12_381 as bls
+from ..hostmath.bls12_381 import R
+from .limbs import FR_SPEC, FQ_SPEC, ints_to_limbs
+from .field_jax import FR, FQ
+from .curve_jax import (
+    jac_identity, jac_add, jac_double, affine_to_jac, select_point,
+    points_to_device,
+)
+
+FB_C = 8                      # window width for the fixed-base table
+FB_WINDOWS = 256 // FB_C      # 32 windows covers 256 bits
+
+
+@lru_cache(maxsize=1)
+def _g1_table():
+    """(3 coords of (L, FB_WINDOWS, 2^c)) jacobian table:
+    T[w][d] = d * 2^(c w) * G."""
+    # window bases 2^(c w) G computed on host (cheap, 256 doublings total)
+    bases = []
+    cur = bls.G1.gen
+    for w in range(FB_WINDOWS):
+        bases.append(cur)
+        for _ in range(FB_C):
+            cur = bls.G1.double(cur)
+    bx, by = points_to_device(bases)            # (L, W)
+    bj = affine_to_jac((bx, by))
+
+    def build(bj):
+        col = jac_identity((FB_WINDOWS,))
+
+        def step(carry, _):
+            nxt = jac_add(carry, bj)
+            return nxt, carry
+
+        _, cols = jax.lax.scan(step, col, None, length=1 << FB_C)
+        # cols: each coord (2^c, L, W) -> (W, L, 2^c) for scan-over-windows
+        return tuple(jnp.moveaxis(a, 0, -1).transpose(1, 0, 2) for a in cols)
+
+    return jax.jit(build)(bj)
+
+
+def _digits_256(scalars, c: int, windows: int):
+    return FR.window_digits(scalars, c, windows)
+
+
+@lru_cache(maxsize=None)
+def _apply_jit(n: int):
+    def apply(table, digits):
+        """table: tuple of (W, L, 2^c); digits: (W, n) -> jacobian points.
+        lax.scan over windows keeps the graph to a single jac_add."""
+        acc0 = jac_identity((n,))
+
+        def body(acc, xs):
+            d, tx, ty, tz = xs
+            entry = (tx[:, d], ty[:, d], tz[:, d])
+            return jac_add(acc, entry), None
+
+        acc, _ = jax.lax.scan(body, acc0, (digits,) + tuple(table))
+        return acc
+    return jax.jit(apply)
+
+
+def batch_inverse_fq(x):
+    """Batch inversion of nonzero Fq elements (L, n) via prefix/suffix
+    product scans + one Fermat inversion."""
+    n = x.shape[-1]
+    prefix = jax.lax.associative_scan(FQ.mont_mul, x, axis=1)
+    suffix = jax.lax.associative_scan(FQ.mont_mul, x[:, ::-1], axis=1)[:, ::-1]
+    total_inv = FQ.inv(prefix[:, -1:])
+    left = jnp.concatenate([FQ.ones_mont((1,)), prefix[:, :-1]], axis=1)
+    right = jnp.concatenate([suffix[:, 1:], FQ.ones_mont((1,))], axis=1)
+    return FQ.mont_mul(FQ.mont_mul(left, right), total_inv)
+
+
+def jac_to_affine_batch(p):
+    """Jacobian (no identities) -> affine (X, Y) via batch inversion."""
+    X, Y, Z = p
+    zinv = batch_inverse_fq(Z)
+    zinv2 = FQ.mont_sqr(zinv)
+    return FQ.mont_mul(X, zinv2), FQ.mont_mul(Y, FQ.mont_mul(zinv2, zinv))
+
+
+@lru_cache(maxsize=None)
+def _to_affine_jit(n: int):
+    return jax.jit(jac_to_affine_batch)
+
+
+FB_CHUNK = 1 << 18
+
+
+def fixed_base_mul(scalars, chunk: int = FB_CHUNK):
+    """scalars: (16, N) canonical Fr limbs -> affine (X, Y) device arrays
+    (24, N).  All scalars must be nonzero (SRS exponents always are)."""
+    table = _g1_table()
+    n = scalars.shape[-1]
+    outs_x, outs_y = [], []
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        size = end - start
+        cs = scalars[:, start:end]
+        if size < chunk and n > chunk:
+            pad = chunk - size
+            # pad with scalar 1 (safe: nonzero, discarded after)
+            one = jnp.zeros((16, pad), jnp.uint32).at[0].set(1)
+            cs = jnp.concatenate([cs, one], axis=1)
+        digits = _digits_256(cs, FB_C, FB_WINDOWS)
+        acc = _apply_jit(cs.shape[-1])(table, digits)
+        ax, ay = _to_affine_jit(cs.shape[-1])(acc)
+        outs_x.append(ax[:, :size])
+        outs_y.append(ay[:, :size])
+    if len(outs_x) == 1:
+        return outs_x[0], outs_y[0]
+    return jnp.concatenate(outs_x, axis=1), jnp.concatenate(outs_y, axis=1)
+
+
+def fixed_base_mul_ints(scalar_ints, chunk: int = FB_CHUNK):
+    sc = jnp.asarray(ints_to_limbs([s % R for s in scalar_ints], FR_SPEC.L))
+    return fixed_base_mul(sc, chunk)

@@ -1,0 +1,117 @@
+"""Fused Pallas TPU kernels for G1 Jacobian arithmetic (limb-list form).
+
+One `pallas_call` per batched point operation.  Internals use the
+limb-list engine (ll.py): each limb is an (8, C) tile, limb shifts are
+Python list reindexing, constants are scalar literals — no cross-sublane
+relayouts, no captured array constants, pure VPU elementwise code.
+
+Block layout: batched points are reshaped (24, N) -> (24, N/C, C) and
+blocked (24, 8, C): 8*C points per kernel instance.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.config import pallas_interpret
+from .limbs import FQ_SPEC
+from .ll import LL_FQ, ll_jac_add, ll_jac_double
+
+L = FQ_SPEC.L
+LANES = 256
+ROWS = 8
+BLOCK_PTS = LANES * ROWS  # 2048 points per kernel instance
+
+
+def _add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    p = tuple(LL_FQ.split(r[...]) for r in (x1, y1, z1))
+    q = tuple(LL_FQ.split(r[...]) for r in (x2, y2, z2))
+    rx, ry, rz = ll_jac_add(p, q)
+    ox[...] = LL_FQ.join(rx)
+    oy[...] = LL_FQ.join(ry)
+    oz[...] = LL_FQ.join(rz)
+
+
+def _double_kernel(x1, y1, z1, ox, oy, oz):
+    p = tuple(LL_FQ.split(r[...]) for r in (x1, y1, z1))
+    rx, ry, rz = ll_jac_double(p)
+    ox[...] = LL_FQ.join(rx)
+    oy[...] = LL_FQ.join(ry)
+    oz[...] = LL_FQ.join(rz)
+
+
+def _specs(rows_total: int):
+    spec = pl.BlockSpec((L, ROWS, LANES), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+    return spec
+
+
+@lru_cache(maxsize=None)
+def _add_call(rows_total: int):
+    spec = _specs(rows_total)
+    return pl.pallas_call(
+        _add_kernel,
+        grid=(rows_total // ROWS,),
+        in_specs=[spec] * 6,
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32)
+            for _ in range(3)),
+        interpret=pallas_interpret(),
+    )
+
+
+@lru_cache(maxsize=None)
+def _double_call(rows_total: int):
+    spec = _specs(rows_total)
+    return pl.pallas_call(
+        _double_kernel,
+        grid=(rows_total // ROWS,),
+        in_specs=[spec] * 3,
+        out_specs=(spec, spec, spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32)
+            for _ in range(3)),
+        interpret=pallas_interpret(),
+    )
+
+
+def _to_blocks(p):
+    """(L, ...batch) -> (L, rows, LANES) padded; returns (arrays, shape, n)."""
+    shape = p[0].shape
+    n = int(np.prod(shape[1:]))
+    pad = (-n) % BLOCK_PTS
+    out = []
+    for a in p:
+        a = a.reshape(L, n)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((L, pad), jnp.uint32)], axis=1)
+        out.append(a.reshape(L, -1, LANES))
+    return tuple(out), shape, n
+
+
+def _from_blocks(arrs, shape, n):
+    return tuple(a.reshape(L, -1)[:, :n].reshape(shape) for a in arrs)
+
+
+def jac_add_fused(p, q):
+    """p, q: equal-shaped jacobian coord tuples (L, ...batch)."""
+    pb, shape, n = _to_blocks(p)
+    qb, _, _ = _to_blocks(q)
+    rows_total = pb[0].shape[1]
+    out = _add_call(rows_total)(*pb, *qb)
+    return _from_blocks(out, shape, n)
+
+
+def jac_double_fused(p):
+    pb, shape, n = _to_blocks(p)
+    rows_total = pb[0].shape[1]
+    out = _double_call(rows_total)(*pb)
+    return _from_blocks(out, shape, n)

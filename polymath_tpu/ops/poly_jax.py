@@ -1,0 +1,84 @@
+"""Device polynomial algebra helpers: affine first-order recurrences
+(synthetic division), used by the prover's quotient step.
+
+The reference does the (X - x1) division as a sequential O(D) scan over
+~10n coefficients (prover.rs:211-220).  Here it becomes a blocked affine
+recurrence: p_k = c_k + m * p_(k-1) decomposes into fixed-shape levels of
+64-wide lax.scans (each level one mont_mul instance in the graph), with
+per-level multiplier m^64 — O(D) work, O(64 * depth) sequential latency.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .limbs import FR_SPEC
+from .field_jax import FR
+from .ntt import powers_of
+
+_SEQ = 64
+
+
+def affine_scan(c, mult):
+    """Inclusive scan of p_k = c_k + mult * p_(k-1) over the trailing axis.
+
+    c: (16, ..., N) Montgomery limbs; mult: (16, 1) Montgomery scalar.
+    Returns (16, ..., N).
+    """
+    n = c.shape[-1]
+    lead = c.shape[1:-1]
+    if n <= _SEQ:
+        xs = jnp.moveaxis(c, -1, 0)[..., None]  # (N, 16, ..., 1)
+        acc0 = FR.zeros(lead + (1,))
+
+        def body(acc, x):
+            nxt = FR.add(FR.mont_mul(acc, mult), x)
+            return nxt, nxt
+
+        _, ps = jax.lax.scan(body, acc0, xs)
+        return jnp.moveaxis(ps[..., 0], 0, -1)
+    pad = (-n) % _SEQ
+    if pad:
+        c = jnp.concatenate(
+            [c, jnp.zeros(c.shape[:-1] + (pad,), jnp.uint32)], axis=-1)
+    npad = c.shape[-1]
+    rows = npad // _SEQ
+    cr = c.reshape(c.shape[:-1] + (rows, _SEQ))
+    xs = jnp.moveaxis(cr, -1, 0)  # (_SEQ, 16, ..., rows)
+    acc0 = FR.zeros(lead + (rows,))
+
+    def body(acc, x):
+        nxt = FR.add(FR.mont_mul(acc, mult), x)
+        return nxt, nxt
+
+    totals, local = jax.lax.scan(body, acc0, xs)
+    # local: (_SEQ, 16, ..., rows) inclusive within-row (no cross-row carry)
+    mult_s = mult
+    for _ in range(6):  # mult^64 by repeated squaring (2^6 = 64)
+        mult_s = FR.mont_mul(mult_s, mult_s)
+    row_ps = affine_scan(totals, mult_s)  # (16, ..., rows) with carry
+    zero1 = FR.zeros(lead + (1,))
+    prev = jnp.concatenate([zero1, row_ps[..., :-1]], axis=-1)  # exclusive
+    # p[row, t] = local[row, t] + mult^(t+1) * prev[row]
+    mpow = powers_of(mult, _SEQ + 1)
+    mpow = mpow[:, 1:]  # (16, _SEQ): mult^1 .. mult^_SEQ
+    local = jnp.moveaxis(local, 0, -1)  # (16, ..., rows, _SEQ)
+    carry = FR.mont_mul(mpow.reshape((16,) + (1,) * len(lead) + (1, _SEQ)),
+                        prev[..., None])
+    ps = FR.add(local, carry)
+    ps = ps.reshape(ps.shape[:-2] + (npad,))
+    return ps[..., :n]
+
+
+def synthetic_divide_device(coeffs, x1_mont):
+    """Divide the polynomial with Montgomery coeffs (16, D+1) by (X - x1).
+
+    Returns (quotient (16, D), remainder (16, 1)).  Exactness is the
+    protocol invariant (prover.rs:221); callers may check the remainder.
+    """
+    dlen = coeffs.shape[-1]
+    cr = jnp.flip(coeffs, axis=-1)          # c'_k = c_{D-k}
+    q_rev = affine_scan(cr[:, :dlen - 1], x1_mont)
+    rem = FR.add(FR.mont_mul(q_rev[:, -1:], x1_mont), coeffs[:, :1])
+    return jnp.flip(q_rev, axis=-1), rem

@@ -1,0 +1,298 @@
+"""Device (TPU) prover pipeline.
+
+Same protocol skeleton as protocol/prover.py (reference prover.rs:66-237)
+with all bulk math on device: sparse SAP block matvecs, NTTs, the size-2n
+squaring, the ~10n-coefficient quotient scan, and all large MSMs.  Host
+keeps witness synthesis, the two Fiat–Shamir rounds (the mandatory
+device->host sync points, SURVEY.md §3.2) and the O(1)/O(m0) algebra.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..hostmath import bls12_381 as bls
+from ..hostmath.bls12_381 import R
+from ..frontend.r1cs import synthesize, ConstraintSystem
+from ..protocol import common
+from ..protocol.common import MINUS_ALPHA, MINUS_GAMMA
+from ..protocol.data_structures import Proof
+from ..protocol.poly_host import Radix2Domain
+from .limbs import FR_SPEC, ints_to_limbs, limbs_to_ints
+from .field_jax import FR
+from .ntt import ntt, ntt_trace, poly_eval_device
+from .poly_jax import synthetic_divide_device
+from .sparse import CooMatrix, coo_matvec
+from .msm import msm_device
+from .curve_jax import points_to_device, jac_to_host
+
+
+def fr_ints_to_mont_device(values):
+    """list of canonical ints -> (16, N) Montgomery limbs (device to_mont)."""
+    raw = jnp.asarray(ints_to_limbs([v % R for v in values], FR_SPEC.L))
+    return _to_mont_jit(raw.shape[-1])(raw)
+
+
+@lru_cache(maxsize=None)
+def _to_mont_jit(n: int):
+    return jax.jit(FR.to_mont)
+
+
+@lru_cache(maxsize=None)
+def _from_mont_jit(n: int):
+    return jax.jit(FR.from_mont)
+
+
+def mont_scalar(v: int):
+    return jnp.asarray(
+        ints_to_limbs([FR_SPEC.to_mont_int(v % R)], FR_SPEC.L))
+
+
+def mont_to_int(arr) -> int:
+    return FR_SPEC.from_mont_int(
+        limbs_to_ints(np.asarray(arr).reshape(FR_SPEC.L, -1)[:, :1])[0])
+
+
+class DeviceArtifacts:
+    """Per-proving-key device state: COO matrices + SRS point arrays."""
+
+    def __init__(self, pk):
+        sap = pk.sap_matrices
+        m0, m, n_r = sap.m0_m_n()
+        self.m0, self.m, self.n_r = m0, m, n_r
+        rows, self.cols = sap.size()
+        self.n = Radix2Domain(rows).n
+        self.sigma = pk.vk.sigma
+        self.coo_a = CooMatrix.from_sparse_rows(sap.a, m)
+        self.coo_b = CooMatrix.from_sparse_rows(sap.b, m)
+        self.coo_c = CooMatrix.from_sparse_rows(sap.c, m)
+        # SRS device arrays (affine Montgomery limbs)
+        self.srs = dict(pk.device.get("srs", {}))
+        for name in ("x_powers_g1", "x_powers_zh_by_y_alpha_g1",
+                     "x_powers_y_gamma_z_g1", "uj_wj_lcs_by_y_alpha_g1"):
+            if name not in self.srs:
+                pts = getattr(pk, name)
+                self.srs[name] = points_to_device(pts)
+
+
+_ARTIFACTS: dict = {}
+
+
+def get_artifacts(pk) -> DeviceArtifacts:
+    key = id(pk)
+    if key not in _ARTIFACTS:
+        _ARTIFACTS[key] = DeviceArtifacts(pk)
+    return _ARTIFACTS[key]
+
+
+@lru_cache(maxsize=None)
+def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int):
+    """Builds z, u/w eval vectors, coefficient polys, h, and MSM scalar
+    vectors — everything between witness synthesis and the first
+    Fiat-Shamir round that runs on device."""
+
+    def stage1(x_m, z_r, coo_data):
+        (a_rows, a_cols, a_co, b_rows, b_cols, b_co, c_rows, c_cols, c_co) = coo_data
+        az = coo_matvec_raw(a_rows, a_cols, a_co, z_r, n_r)
+        bz = coo_matvec_raw(b_rows, b_cols, b_co, z_r, n_r)
+        cz = coo_matvec_raw(c_rows, c_cols, c_co, z_r, n_r)
+        amb = FR.sub(az, bz)
+        apb = FR.add(az, bz)
+        y_n = FR.mont_mul(amb, amb)
+
+        one = FR.ones_mont((1,))
+        x0 = x_m[:, :1]
+        # y = [0] || (1-x_j)^2 for j=1..m0 || y_n
+        one_minus_x = FR.sub(one, x_m[:, 1:m0])
+        y_m0 = FR.mont_mul(one_minus_x, one_minus_x)
+        y = jnp.concatenate([FR.zeros((1,)), y_m0, y_n], axis=1)
+
+        w_part = z_r[:, m0:]
+        z = jnp.concatenate([x_m, x_m, w_part, y], axis=1)  # (16, cols)
+
+        # u_evals blocks (SAP row structure, frontend/sap.py)
+        u_b1 = FR.add(x0, x_m)                      # rows [0, m0)
+        u_b2 = jnp.concatenate(
+            [FR.zeros((1,)), FR.sub(x0, x_m[:, 1:m0])], axis=1)
+        pad = FR.zeros((n - 2 * m0 - 2 * n_r,))
+        u_evals = jnp.concatenate([u_b1, u_b2, apb, amb, pad], axis=1)
+
+        four = mont_scalar(4)
+        y_m0_full = y[:, :m0]
+        y_n_full = y[:, m0:]
+        w_b1 = FR.add(FR.mont_mul(four, x_m), y_m0_full)
+        w_b3 = FR.add(FR.mont_mul(four, cz), y_n_full)
+        w_evals = jnp.concatenate(
+            [w_b1, y_m0_full, w_b3, y_n_full, pad], axis=1)
+
+        u_coeffs = ntt_trace(u_evals, inverse=True)
+        w_coeffs = ntt_trace(w_evals, inverse=True)
+
+        # u^2 via 2n FFT
+        u_pad = jnp.concatenate([u_coeffs, FR.zeros((n,))], axis=1)
+        u2_ev = ntt_trace(u_pad, inverse=False)
+        u2_ev = FR.mont_mul(u2_ev, u2_ev)
+        u2 = ntt_trace(u2_ev, inverse=True)
+
+        w_pad = jnp.concatenate([w_coeffs, FR.zeros((n,))], axis=1)
+        h_num = FR.sub(u2, w_pad)                   # (16, 2n)
+        h = h_num[:, n:]                            # quotient by X^n - 1
+
+        # witness-only u: rows < 2*m0 zeroed (instance columns live there)
+        wu_evals = jnp.concatenate(
+            [FR.zeros((2 * m0,)), apb, amb, pad], axis=1)
+        wu_coeffs = ntt_trace(wu_evals, inverse=True)
+
+        return dict(
+            z=z, u_coeffs=u_coeffs, w_coeffs=w_coeffs, h=h, h_num=h_num,
+            wu_coeffs=wu_coeffs,
+            z_canon=FR.from_mont(z), u_canon=FR.from_mont(u_coeffs),
+            h_canon=FR.from_mont(h),
+        )
+
+    return jax.jit(stage1)
+
+
+def coo_matvec_raw(rows, cols, coeffs_mont, z, num_rows):
+    """Traceable COO matvec (see sparse.coo_matvec)."""
+    from .sparse import segment_sum_mod
+    gathered = z[:, cols]
+    prods = FR.mont_mul(gathered, coeffs_mont)
+    return segment_sum_mod(prods, rows, num_rows)
+
+
+@lru_cache(maxsize=None)
+def _stage2_jit(n: int, sigma: int, d_len: int):
+    """Assemble the D(X)*Y^-gamma numerator and divide by (X - x1)."""
+
+    def stage2(u_coeffs, wu_coeffs, w_coeffs, h_num, ra0, ra1, x1_m, x2_m,
+               eval_sum):
+        s = sigma
+        dnum = FR.zeros((d_len,))
+
+        def addb(dn, off, coeffs):
+            cur = jax.lax.dynamic_slice_in_dim(dn, off, coeffs.shape[-1], 1)
+            return jax.lax.dynamic_update_slice_in_dim(
+                dn, FR.add(cur, coeffs), off, 1)
+
+        ra = jnp.concatenate([ra0, ra1], axis=1)  # (16, 2)
+        # 2*r_a*u (degree n), r_a^2 (degree 2)
+        two = mont_scalar(2)
+        u_sh = jnp.concatenate([FR.zeros((1,)), u_coeffs], axis=1)  # x*u
+        u_lo = jnp.concatenate([u_coeffs, FR.zeros((1,))], axis=1)
+        two_ra_u = FR.add(
+            FR.mont_mul(FR.mont_mul(two, ra0), u_lo),
+            FR.mont_mul(FR.mont_mul(two, ra1), u_sh))
+        ra_sq = jnp.concatenate([
+            FR.mont_mul(ra0, ra0),
+            FR.mont_mul(two, FR.mont_mul(ra0, ra1)),
+            FR.mont_mul(ra1, ra1)], axis=1)
+
+        # A(X) Y^-gamma: u at 5s, r_a at 2s
+        dnum = addb(dnum, 5 * s, u_coeffs)
+        dnum = addb(dnum, 2 * s, ra)
+        # + x2 * C(X) Y^-gamma
+        dnum = addb(dnum, 3 * s, FR.mont_mul(x2_m, wu_coeffs))
+        dnum = addb(dnum, 8 * s, FR.mont_mul(x2_m, w_coeffs))
+        # h_num top coefficient (index 2n-1) is structurally zero; drop it
+        # so the block stays inside the d_len buffer.
+        dnum = addb(dnum, 8 * s, FR.mont_mul(x2_m, h_num[:, :2 * n - 1]))
+        dnum = addb(dnum, 5 * s, FR.mont_mul(x2_m, two_ra_u))
+        dnum = addb(dnum, 2 * s, FR.mont_mul(x2_m, ra_sq))
+        dnum = addb(dnum, 0, FR.mont_mul(x2_m, ra))
+        # - (a_at_x1 + x2 c_at_x1) at 5s
+        dnum = addb(dnum, 5 * s, FR.neg(eval_sum))
+
+        q, rem = synthetic_divide_device(dnum, x1_m)
+        return FR.from_mont(q), rem
+
+    return jax.jit(stage2)
+
+
+def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
+    art = get_artifacts(pk)
+    n, m0, m, n_r, cols, sigma = (art.n, art.m0, art.m, art.n_r, art.cols,
+                                  art.sigma)
+
+    cs = synthesize(circuit, ConstraintSystem.PROVE)
+    instance = cs.instance_assignment
+    witness = cs.witness_assignment
+    assert len(instance) == m0
+
+    x_m = fr_ints_to_mont_device(instance)
+    z_r = fr_ints_to_mont_device(instance + witness)
+
+    coo_data = (
+        art.coo_a.row_idx, art.coo_a.col_idx, art.coo_a.coeffs_mont,
+        art.coo_b.row_idx, art.coo_b.col_idx, art.coo_b.coeffs_mont,
+        art.coo_c.row_idx, art.coo_c.col_idx, art.coo_c.coeffs_mont,
+    )
+    s1 = _stage1_jit(n, m0, m, n_r, cols)(x_m, z_r, coo_data)
+
+    # -- blinding + commitments ------------------------------------------
+    ra0_i, ra1_i = rng.randrange(R), rng.randrange(R)
+
+    xp = art.srs["x_powers_g1"]
+    a_u = msm_device(xp[0][:, :n], xp[1][:, :n], s1["u_canon"])
+    # host: tiny r_a MSMs over the 3/2-element SRS vectors
+    a_ra = bls.G1.msm(pk.x_powers_y_alpha_g1, [ra0_i, ra1_i])
+    a_g1 = bls.G1.add(a_u, a_ra)
+
+    # r_g1 = msm(2 r_a u, x_powers) + msm(r_a^2, y_alpha) + msm(r_a, y_gamma)
+    tr0 = mont_scalar(2 * ra0_i % R)
+    tr1 = mont_scalar(2 * ra1_i % R)
+    u_lo = jnp.concatenate([s1["u_coeffs"], FR.zeros((1,))], axis=1)
+    u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
+    two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
+    r_big = msm_device(xp[0][:, :n + 1], xp[1][:, :n + 1], two_ra_u)
+    ra_sq = [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R, ra1_i * ra1_i % R]
+    r_small = bls.G1.add(
+        bls.G1.msm(pk.x_powers_y_alpha_g1, ra_sq),
+        bls.G1.msm(pk.x_powers_y_gamma_g1, [ra0_i, ra1_i]))
+    r_g1 = bls.G1.add(r_big, r_small)
+
+    ujwj = art.srs["uj_wj_lcs_by_y_alpha_g1"]
+    c_w = msm_device(ujwj[0], ujwj[1], s1["z_canon"][:, m0:])
+    zh = art.srs["x_powers_zh_by_y_alpha_g1"]
+    c_h = msm_device(zh[0], zh[1], s1["h_canon"][:, :n - 1])
+    c_g1 = bls.G1.add(bls.G1.add(c_w, c_h), r_g1)
+
+    # -- Fiat-Shamir round 1 ---------------------------------------------
+    t = transcript_cls(common.B_POLYMATH)
+    x1 = common.compute_x1(t, instance, [a_g1, c_g1])
+    y1 = common.compute_y1(x1, sigma)
+    y1_alpha = common.neg_power(y1, MINUS_ALPHA)
+    y1_gamma = common.neg_power(y1, MINUS_GAMMA)
+
+    u_at_x1 = mont_to_int(poly_eval_device(s1["u_coeffs"], mont_scalar(x1)))
+    a_at_x1 = (u_at_x1 + (ra0_i + ra1_i * x1) * y1_alpha) % R
+    pi_at_x1 = common.compute_pi_at_x1(pk.vk, instance, x1, y1_gamma)
+    c_at_x1 = common.compute_c_at_x1(y1_gamma, y1_alpha, a_at_x1, pi_at_x1)
+
+    # -- Fiat-Shamir round 2 ---------------------------------------------
+    x2 = common.compute_x2(t, x1, [a_at_x1, c_at_x1])
+
+    d_len = 2 * (n - 1) + sigma * (MINUS_ALPHA + MINUS_GAMMA) + 1
+    eval_sum = mont_scalar((a_at_x1 + x2 * c_at_x1) % R)
+    q_canon, rem = _stage2_jit(n, sigma, d_len)(
+        s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
+        mont_scalar(ra0_i), mont_scalar(ra1_i),
+        mont_scalar(x1), mont_scalar(x2), eval_sum)
+
+    ygz = art.srs["x_powers_y_gamma_z_g1"]
+    d_g1 = msm_device(ygz[0][:, :d_len - 1], ygz[1][:, :d_len - 1], q_canon)
+
+    return Proof(a_g1=a_g1, c_g1=c_g1, a_at_x1=a_at_x1, d_g1=d_g1)
+
+
+@lru_cache(maxsize=None)
+def _tru_jit(n: int):
+    def tru(tr0, tr1, u_lo, u_sh):
+        # tr0/tr1 arrive in Montgomery form (mont_scalar)
+        val = FR.add(FR.mont_mul(tr0, u_lo), FR.mont_mul(tr1, u_sh))
+        return FR.from_mont(val)
+    return jax.jit(tru)
