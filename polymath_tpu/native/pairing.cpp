@@ -1,0 +1,447 @@
+// Native BLS12-381 pairing for the host-side verifier (reference
+// verifier.rs:50-61 multi_pairing).  Fq = 6x64-bit Montgomery limbs with
+// __uint128 CIOS; tower and Miller-loop formulas mirror the (validated)
+// Python implementation in hostmath/ — including the trial untwist and the
+// generic hard-part exponentiation (exponent supplied by the caller).
+
+#include <cstdint>
+#include <cstring>
+
+typedef unsigned __int128 u128;
+
+namespace {
+
+constexpr int NL = 6;
+
+// q (BLS12-381 base field), little-endian 64-bit limbs
+static const uint64_t Q[NL] = {
+    0xB9FEFFFFFFFFAAABULL, 0x1EABFFFEB153FFFFULL, 0x6730D2A0F6B0F624ULL,
+    0x64774B84F38512BFULL, 0x4B1BA7B6434BACD7ULL, 0x1A0111EA397FE69AULL};
+// -q^{-1} mod 2^64
+static const uint64_t N0INV = 0x89F3FFFCFFFCFFFDULL;
+// R^2 mod q  (R = 2^384)
+static const uint64_t R2[NL] = {
+    0xF4DF1F341C341746ULL, 0x0A76E6A609D104F1ULL, 0x8DE5476C4C95B6D5ULL,
+    0x67EB88A9939D83C0ULL, 0x9A793E85B519952DULL, 0x11988FE592CAE3AAULL};
+// R mod q (Montgomery one)
+static const uint64_t RONE[NL] = {
+    0x760900000002FFFDULL, 0xEBF4000BC40C0002ULL, 0x5F48985753C758BAULL,
+    0x77CE585370525745ULL, 0x5C071A97A256EC6DULL, 0x15F65EC3FA80E493ULL};
+
+struct Fq {
+    uint64_t v[NL];
+};
+
+static inline Fq fq_zero() { Fq r; std::memset(r.v, 0, sizeof(r.v)); return r; }
+static inline Fq fq_one() { Fq r; std::memcpy(r.v, RONE, sizeof(RONE)); return r; }
+
+static inline bool fq_is_zero(const Fq& a) {
+    uint64_t x = 0;
+    for (int i = 0; i < NL; i++) x |= a.v[i];
+    return x == 0;
+}
+
+static inline bool fq_eq(const Fq& a, const Fq& b) {
+    uint64_t x = 0;
+    for (int i = 0; i < NL; i++) x |= a.v[i] ^ b.v[i];
+    return x == 0;
+}
+
+static inline int cmp_q(const uint64_t* a) {
+    for (int i = NL - 1; i >= 0; i--) {
+        if (a[i] < Q[i]) return -1;
+        if (a[i] > Q[i]) return 1;
+    }
+    return 0;
+}
+
+static inline void sub_q(uint64_t* a) {
+    u128 borrow = 0;
+    for (int i = 0; i < NL; i++) {
+        u128 d = (u128)a[i] - Q[i] - borrow;
+        a[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+static inline Fq fq_add(const Fq& a, const Fq& b) {
+    Fq r;
+    u128 carry = 0;
+    for (int i = 0; i < NL; i++) {
+        u128 s = (u128)a.v[i] + b.v[i] + carry;
+        r.v[i] = (uint64_t)s;
+        carry = s >> 64;
+    }
+    if (carry || cmp_q(r.v) >= 0) sub_q(r.v);
+    return r;
+}
+
+static inline Fq fq_sub(const Fq& a, const Fq& b) {
+    Fq r;
+    u128 borrow = 0;
+    for (int i = 0; i < NL; i++) {
+        u128 d = (u128)a.v[i] - b.v[i] - borrow;
+        r.v[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < NL; i++) {
+            u128 s = (u128)r.v[i] + Q[i] + carry;
+            r.v[i] = (uint64_t)s;
+            carry = s >> 64;
+        }
+    }
+    return r;
+}
+
+static inline Fq fq_neg(const Fq& a) {
+    if (fq_is_zero(a)) return a;
+    return fq_sub(fq_zero(), a);
+}
+
+// CIOS Montgomery multiplication
+static Fq fq_mul(const Fq& a, const Fq& b) {
+    uint64_t t[NL + 2];
+    std::memset(t, 0, sizeof(t));
+    for (int i = 0; i < NL; i++) {
+        u128 carry = 0;
+        for (int j = 0; j < NL; j++) {
+            u128 s = (u128)t[j] + (u128)a.v[i] * b.v[j] + carry;
+            t[j] = (uint64_t)s;
+            carry = s >> 64;
+        }
+        u128 s = (u128)t[NL] + carry;
+        t[NL] = (uint64_t)s;
+        t[NL + 1] = (uint64_t)(s >> 64);
+        uint64_t m = t[0] * N0INV;
+        carry = ((u128)t[0] + (u128)m * Q[0]) >> 64;
+        for (int j = 1; j < NL; j++) {
+            u128 s2 = (u128)t[j] + (u128)m * Q[j] + carry;
+            t[j - 1] = (uint64_t)s2;
+            carry = s2 >> 64;
+        }
+        s = (u128)t[NL] + carry;
+        t[NL - 1] = (uint64_t)s;
+        t[NL] = t[NL + 1] + (uint64_t)(s >> 64);
+        t[NL + 1] = 0;
+    }
+    Fq r;
+    std::memcpy(r.v, t, sizeof(r.v));
+    if (t[NL] || cmp_q(r.v) >= 0) sub_q(r.v);
+    return r;
+}
+
+static inline Fq fq_sqr(const Fq& a) { return fq_mul(a, a); }
+
+// generic pow over big-endian bit scan of a little-endian byte exponent
+static Fq fq_pow_bytes(const Fq& a, const uint8_t* exp, size_t elen) {
+    Fq result = fq_one();
+    Fq base = a;
+    for (size_t byte = 0; byte < elen; byte++) {
+        uint8_t e = exp[byte];
+        for (int bit = 0; bit < 8; bit++) {
+            if (e & 1) result = fq_mul(result, base);
+            base = fq_sqr(base);
+            e >>= 1;
+        }
+    }
+    return result;
+}
+
+static Fq fq_inv(const Fq& a) {
+    // a^(q-2)
+    uint8_t exp[48];
+    uint64_t qm2[NL];
+    std::memcpy(qm2, Q, sizeof(qm2));
+    // subtract 2
+    u128 borrow = 2;
+    for (int i = 0; i < NL && borrow; i++) {
+        u128 d = (u128)qm2[i] - borrow;
+        qm2[i] = (uint64_t)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    std::memcpy(exp, qm2, 48);
+    return fq_pow_bytes(a, exp, 48);
+}
+
+// ---------------------------------------------------------------------------
+// Tower: Fq2 = Fq[u]/(u^2+1), Fq6 = Fq2[v]/(v^3-(u+1)), Fq12 = Fq6[w]/(w^2-v)
+// ---------------------------------------------------------------------------
+
+struct Fq2 { Fq c0, c1; };
+
+static inline Fq2 f2_zero() { return {fq_zero(), fq_zero()}; }
+static inline Fq2 f2_one() { return {fq_one(), fq_zero()}; }
+static inline Fq2 f2_add(const Fq2& a, const Fq2& b) {
+    return {fq_add(a.c0, b.c0), fq_add(a.c1, b.c1)};
+}
+static inline Fq2 f2_sub(const Fq2& a, const Fq2& b) {
+    return {fq_sub(a.c0, b.c0), fq_sub(a.c1, b.c1)};
+}
+static inline Fq2 f2_neg(const Fq2& a) { return {fq_neg(a.c0), fq_neg(a.c1)}; }
+static inline Fq2 f2_mul(const Fq2& a, const Fq2& b) {
+    Fq v0 = fq_mul(a.c0, b.c0);
+    Fq v1 = fq_mul(a.c1, b.c1);
+    Fq c0 = fq_sub(v0, v1);  // nonresidue = -1
+    Fq c1 = fq_sub(fq_sub(fq_mul(fq_add(a.c0, a.c1), fq_add(b.c0, b.c1)), v0), v1);
+    return {c0, c1};
+}
+static inline Fq2 f2_sqr(const Fq2& a) { return f2_mul(a, a); }
+static inline bool f2_is_zero(const Fq2& a) {
+    return fq_is_zero(a.c0) && fq_is_zero(a.c1);
+}
+static inline bool f2_eq(const Fq2& a, const Fq2& b) {
+    return fq_eq(a.c0, b.c0) && fq_eq(a.c1, b.c1);
+}
+static Fq2 f2_inv(const Fq2& a) {
+    Fq norm = fq_add(fq_mul(a.c0, a.c0), fq_mul(a.c1, a.c1));
+    Fq ninv = fq_inv(norm);
+    return {fq_mul(a.c0, ninv), fq_neg(fq_mul(a.c1, ninv))};
+}
+// multiply by xi = u + 1
+static inline Fq2 f2_mul_xi(const Fq2& a) {
+    return {fq_sub(a.c0, a.c1), fq_add(a.c0, a.c1)};
+}
+
+struct Fq6 { Fq2 c0, c1, c2; };
+
+static inline Fq6 f6_zero() { return {f2_zero(), f2_zero(), f2_zero()}; }
+static inline Fq6 f6_one() { return {f2_one(), f2_zero(), f2_zero()}; }
+static inline Fq6 f6_add(const Fq6& a, const Fq6& b) {
+    return {f2_add(a.c0, b.c0), f2_add(a.c1, b.c1), f2_add(a.c2, b.c2)};
+}
+static inline Fq6 f6_sub(const Fq6& a, const Fq6& b) {
+    return {f2_sub(a.c0, b.c0), f2_sub(a.c1, b.c1), f2_sub(a.c2, b.c2)};
+}
+static inline Fq6 f6_neg(const Fq6& a) {
+    return {f2_neg(a.c0), f2_neg(a.c1), f2_neg(a.c2)};
+}
+static Fq6 f6_mul(const Fq6& a, const Fq6& b) {
+    Fq2 v0 = f2_mul(a.c0, b.c0);
+    Fq2 v1 = f2_mul(a.c1, b.c1);
+    Fq2 v2 = f2_mul(a.c2, b.c2);
+    Fq2 c0 = f2_add(v0, f2_mul_xi(f2_sub(f2_sub(
+        f2_mul(f2_add(a.c1, a.c2), f2_add(b.c1, b.c2)), v1), v2)));
+    Fq2 c1 = f2_add(f2_sub(f2_sub(
+        f2_mul(f2_add(a.c0, a.c1), f2_add(b.c0, b.c1)), v0), v1),
+        f2_mul_xi(v2));
+    Fq2 c2 = f2_add(f2_sub(f2_sub(
+        f2_mul(f2_add(a.c0, a.c2), f2_add(b.c0, b.c2)), v0), v2), v1);
+    return {c0, c1, c2};
+}
+static Fq6 f6_inv(const Fq6& a) {
+    Fq2 t0 = f2_sub(f2_sqr(a.c0), f2_mul_xi(f2_mul(a.c1, a.c2)));
+    Fq2 t1 = f2_sub(f2_mul_xi(f2_sqr(a.c2)), f2_mul(a.c0, a.c1));
+    Fq2 t2 = f2_sub(f2_sqr(a.c1), f2_mul(a.c0, a.c2));
+    Fq2 det = f2_add(f2_mul(a.c0, t0),
+                     f2_mul_xi(f2_add(f2_mul(a.c2, t1), f2_mul(a.c1, t2))));
+    Fq2 dinv = f2_inv(det);
+    return {f2_mul(t0, dinv), f2_mul(t1, dinv), f2_mul(t2, dinv)};
+}
+
+struct Fq12 { Fq6 c0, c1; };
+
+static inline Fq12 f12_one() { return {f6_one(), f6_zero()}; }
+static inline Fq12 f12_conj(const Fq12& a) { return {a.c0, f6_neg(a.c1)}; }
+static Fq12 f12_mul(const Fq12& a, const Fq12& b) {
+    Fq6 v0 = f6_mul(a.c0, b.c0);
+    Fq6 v1 = f6_mul(a.c1, b.c1);
+    // nonresidue of Fq12 over Fq6 is v: (x0 + x1 w)(y0 + y1 w)
+    //   = x0 y0 + v*(x1 y1) + ((x0+x1)(y0+y1) - x0y0 - x1y1) w
+    Fq6 v1_shift = {f2_mul_xi(v1.c2), v1.c0, v1.c1};  // v * v1
+    Fq6 c0 = f6_add(v0, v1_shift);
+    Fq6 c1 = f6_sub(f6_sub(f6_mul(f6_add(a.c0, a.c1), f6_add(b.c0, b.c1)), v0), v1);
+    return {c0, c1};
+}
+static inline Fq12 f12_sqr(const Fq12& a) { return f12_mul(a, a); }
+static Fq12 f12_inv(const Fq12& a) {
+    // (c0 - c1 w) / (c0^2 - v c1^2)
+    Fq6 c1sq = f6_mul(a.c1, a.c1);
+    Fq6 v_c1sq = {f2_mul_xi(c1sq.c2), c1sq.c0, c1sq.c1};
+    Fq6 det = f6_sub(f6_mul(a.c0, a.c0), v_c1sq);
+    Fq6 dinv = f6_inv(det);
+    return {f6_mul(a.c0, dinv), f6_neg(f6_mul(a.c1, dinv))};
+}
+static bool f12_is_one(const Fq12& a) {
+    Fq12 one = f12_one();
+    return f2_eq(a.c0.c0, one.c0.c0) && f2_is_zero(a.c0.c1) &&
+           f2_is_zero(a.c0.c2) && f2_is_zero(a.c1.c0) &&
+           f2_is_zero(a.c1.c1) && f2_is_zero(a.c1.c2);
+}
+static Fq12 f12_pow_bytes(const Fq12& a, const uint8_t* exp, size_t elen) {
+    Fq12 result = f12_one();
+    Fq12 base = a;
+    for (size_t byte = 0; byte < elen; byte++) {
+        uint8_t e = exp[byte];
+        for (int bit = 0; bit < 8; bit++) {
+            if (e & 1) result = f12_mul(result, base);
+            base = f12_sqr(base);
+            e >>= 1;
+        }
+    }
+    return result;
+}
+
+// Frobenius: gamma constants computed lazily from xi^((q-1)/k) powers — the
+// Python host passes them in to avoid embedding more constants; see
+// pm_multi_pairing signature.
+struct FrobConsts {
+    Fq2 xi_q_third;    // xi^((q-1)/3)
+    Fq2 xi_q_2third;   // xi^(2(q-1)/3)
+    Fq2 xi_q_sixth;    // xi^((q-1)/6)
+};
+
+static inline Fq2 f2_frob(const Fq2& a) { return {a.c0, fq_neg(a.c1)}; }
+
+static Fq12 f12_frob(const Fq12& a, const FrobConsts& fc) {
+    Fq6 c0 = {f2_frob(a.c0.c0),
+              f2_mul(f2_frob(a.c0.c1), fc.xi_q_third),
+              f2_mul(f2_frob(a.c0.c2), fc.xi_q_2third)};
+    Fq6 c1 = {f2_frob(a.c1.c0),
+              f2_mul(f2_frob(a.c1.c1), fc.xi_q_third),
+              f2_mul(f2_frob(a.c1.c2), fc.xi_q_2third)};
+    c1 = {f2_mul(c1.c0, fc.xi_q_sixth), f2_mul(c1.c1, fc.xi_q_sixth),
+          f2_mul(c1.c2, fc.xi_q_sixth)};
+    return {c0, c1};
+}
+
+// ---------------------------------------------------------------------------
+// Miller loop over E(Fq12) with affine line evaluations (mirrors
+// hostmath/bls12_381.py::miller_loop; BLS x = -0xd201000000010000)
+// ---------------------------------------------------------------------------
+
+static const uint64_t BLS_X_ABS = 0xd201000000010000ULL;
+
+struct PtFq12 { Fq12 x, y; bool inf; };
+
+static Fq12 f12_from_f2(const Fq2& a) {
+    Fq12 r = {f6_zero(), f6_zero()};
+    r.c0.c0 = a;
+    return r;
+}
+
+static Fq12 f12_add(const Fq12& a, const Fq12& b) {
+    return {f6_add(a.c0, b.c0), f6_add(a.c1, b.c1)};
+}
+static Fq12 f12_sub(const Fq12& a, const Fq12& b) {
+    return {f6_sub(a.c0, b.c0), f6_sub(a.c1, b.c1)};
+}
+
+// returns line value at P and replaces T with T+Q (or 2T)
+static Fq12 line_and_add(PtFq12& T, const PtFq12& Qp, const Fq12& xP,
+                         const Fq12& yP, bool dbl) {
+    Fq12 lam;
+    if (dbl) {
+        Fq12 x2 = f12_sqr(T.x);
+        Fq12 three_x2 = f12_add(f12_add(x2, x2), x2);
+        lam = f12_mul(three_x2, f12_inv(f12_add(T.y, T.y)));
+    } else {
+        lam = f12_mul(f12_sub(Qp.y, T.y), f12_inv(f12_sub(Qp.x, T.x)));
+    }
+    Fq12 val = f12_sub(f12_sub(yP, T.y), f12_mul(lam, f12_sub(xP, T.x)));
+    Fq12 x3 = f12_sub(f12_sub(f12_sqr(lam), T.x), dbl ? T.x : Qp.x);
+    Fq12 y3 = f12_sub(f12_mul(lam, f12_sub(T.x, x3)), T.y);
+    T.x = x3;
+    T.y = y3;
+    return val;
+}
+
+}  // namespace
+
+extern "C" {
+
+// All field element I/O is canonical little-endian 48-byte Fq values.
+// g1: x||y (96 B) with inf flag byte; g2: x.c0||x.c1||y.c0||y.c1 (192 B).
+// untwist selector: 0 = divide by (w^2, w^3), 1 = multiply.
+// frob: 6 x 48B = xi_q_third.c0,c1, xi_q_2third.c0,c1, xi_q_sixth.c0,c1.
+// hard_exp: LE bytes of (q^4 - q^2 + 1) / r.
+
+static Fq fq_from_bytes(const uint8_t* b) {
+    Fq raw;
+    std::memcpy(raw.v, b, 48);
+    Fq r2;
+    std::memcpy(r2.v, R2, 48);
+    return fq_mul(raw, r2);  // to Montgomery
+}
+
+int pm_multi_pairing_is_one(
+    const uint8_t* g1s,      // count * 97 bytes (x, y, inf)
+    const uint8_t* g2s,      // count * 193 bytes
+    int count,
+    const uint8_t* frob_bytes,   // 6 * 48
+    const uint8_t* hard_exp, size_t hard_len) {
+    FrobConsts fc;
+    fc.xi_q_third = {fq_from_bytes(frob_bytes), fq_from_bytes(frob_bytes + 48)};
+    fc.xi_q_2third = {fq_from_bytes(frob_bytes + 96), fq_from_bytes(frob_bytes + 144)};
+    fc.xi_q_sixth = {fq_from_bytes(frob_bytes + 192), fq_from_bytes(frob_bytes + 240)};
+
+    Fq12 f = f12_one();
+    for (int i = 0; i < count; i++) {
+        const uint8_t* g1 = g1s + 97 * i;
+        const uint8_t* g2 = g2s + 193 * i;
+        if (g1[96] || g2[192]) continue;  // infinity -> factor 1
+        Fq2 p_x = {fq_from_bytes(g1), fq_zero()};
+        Fq2 p_y = {fq_from_bytes(g1 + 48), fq_zero()};
+        Fq12 xP = f12_from_f2(p_x);
+        Fq12 yP = f12_from_f2(p_y);
+        Fq2 q_x = {fq_from_bytes(g2), fq_from_bytes(g2 + 48)};
+        Fq2 q_y = {fq_from_bytes(g2 + 96), fq_from_bytes(g2 + 144)};
+
+        // untwist: try both sextic embeddings, keep the one on y^2=x^3+4
+        Fq12 w2 = {f6_zero(), f6_zero()};
+        w2.c0.c1 = f2_one();              // w^2 = v
+        Fq12 w3 = {f6_zero(), f6_zero()};
+        w3.c1.c1 = f2_one();              // w^3 = v w
+        Fq12 b4 = f12_from_f2({fq_mul(fq_add(fq_one(), fq_one()),
+                                      fq_add(fq_one(), fq_one())), fq_zero()});
+        PtFq12 Qp;
+        bool found = false;
+        for (int mode = 0; mode < 2 && !found; mode++) {
+            Fq12 xm = mode == 0 ? f12_inv(w2) : w2;
+            Fq12 ym = mode == 0 ? f12_inv(w3) : w3;
+            Fq12 X = f12_mul(f12_from_f2(q_x), xm);
+            Fq12 Y = f12_mul(f12_from_f2(q_y), ym);
+            Fq12 lhs = f12_sqr(Y);
+            Fq12 rhs = f12_add(f12_mul(f12_sqr(X), X), b4);
+            if (f2_eq(lhs.c0.c0, rhs.c0.c0) &&
+                f2_eq(lhs.c0.c1, rhs.c0.c1) &&
+                f2_eq(lhs.c0.c2, rhs.c0.c2) &&
+                f2_eq(lhs.c1.c0, rhs.c1.c0) &&
+                f2_eq(lhs.c1.c1, rhs.c1.c1) &&
+                f2_eq(lhs.c1.c2, rhs.c1.c2)) {
+                Qp.x = X;
+                Qp.y = Y;
+                Qp.inf = false;
+                found = true;
+            }
+        }
+        if (!found) return -1;  // invalid G2 point
+
+        // Miller loop over bits of |x| (from second-highest down)
+        Fq12 fi = f12_one();
+        PtFq12 T = Qp;
+        int top = 63;
+        while (!((BLS_X_ABS >> top) & 1)) top--;
+        for (int bit = top - 1; bit >= 0; bit--) {
+            Fq12 val = line_and_add(T, Qp, xP, yP, true);
+            fi = f12_mul(f12_sqr(fi), val);
+            if ((BLS_X_ABS >> bit) & 1) {
+                Fq12 val2 = line_and_add(T, Qp, xP, yP, false);
+                fi = f12_mul(fi, val2);
+            }
+        }
+        fi = f12_conj(fi);  // x < 0
+        f = f12_mul(f, fi);
+    }
+
+    // final exponentiation: easy part
+    Fq12 f1 = f12_conj(f);
+    f = f12_mul(f1, f12_inv(f));
+    f = f12_mul(f12_frob(f12_frob(f, fc), fc), f);
+    // hard part
+    f = f12_pow_bytes(f, hard_exp, hard_len);
+    return f12_is_one(f) ? 1 : 0;
+}
+
+}  // extern "C"

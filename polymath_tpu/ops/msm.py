@@ -122,9 +122,22 @@ def msm_device(xs, ys, scalars, chunk: int = DEFAULT_CHUNK):
     """MSM over device arrays -> host affine point.
 
     xs, ys: (24, N) affine Montgomery limbs; scalars: (16, N) canonical
-    (non-Montgomery) Fr limbs.
+    (non-Montgomery) Fr limbs.  N is padded up to a power of two (>= 1024)
+    so compiled chunk programs are shared across circuit sizes — zero-digit
+    masking makes pad entries inert regardless of the padded point coords.
     """
     n = xs.shape[-1]
+    if n <= chunk:
+        n_pad = 1 << max(10, (n - 1).bit_length())
+    else:
+        n_pad = n  # the chunk loop pads the final partial chunk itself
+    if n_pad != n:
+        pad = n_pad - n
+        xs = jnp.concatenate([xs, jnp.zeros((xs.shape[0], pad), jnp.uint32)], 1)
+        ys = jnp.concatenate([ys, jnp.zeros((ys.shape[0], pad), jnp.uint32)], 1)
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)], 1)
+        n = n_pad
     c, windows = _window_params(min(n, chunk))
     wsums = None
     for start in range(0, n, chunk):

@@ -57,7 +57,7 @@ def _add_call(rows_total: int):
     spec = _specs(rows_total)
     return pl.pallas_call(
         _add_kernel,
-        grid=(rows_total // ROWS,),
+        grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec] * 6,
         out_specs=(spec, spec, spec),
         out_shape=tuple(
@@ -72,7 +72,7 @@ def _double_call(rows_total: int):
     spec = _specs(rows_total)
     return pl.pallas_call(
         _double_kernel,
-        grid=(rows_total // ROWS,),
+        grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec] * 3,
         out_specs=(spec, spec, spec),
         out_shape=tuple(
@@ -86,7 +86,7 @@ def _to_blocks(p):
     """(L, ...batch) -> (L, rows, LANES) padded; returns (arrays, shape, n)."""
     shape = p[0].shape
     n = int(np.prod(shape[1:]))
-    pad = (-n) % BLOCK_PTS
+    pad = (-n) % LANES
     out = []
     for a in p:
         a = a.reshape(L, n)

@@ -55,7 +55,7 @@ def _bfly_call(rows_total: int):
     spec = _spec()
     return pl.pallas_call(
         _bfly_kernel,
-        grid=(rows_total // ROWS,),
+        grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec] * 3,
         out_specs=(spec, spec),
         out_shape=tuple(
@@ -70,7 +70,7 @@ def _mul_call(rows_total: int):
     spec = _spec()
     return pl.pallas_call(
         _mul_kernel,
-        grid=(rows_total // ROWS,),
+        grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec] * 2,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32),
@@ -83,7 +83,7 @@ def _sqr_call(rows_total: int):
     spec = _spec()
     return pl.pallas_call(
         _sqr_kernel,
-        grid=(rows_total // ROWS,),
+        grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32),
@@ -92,7 +92,7 @@ def _sqr_call(rows_total: int):
 
 
 def _blockify(a, n):
-    pad = (-n) % BLOCK
+    pad = (-n) % LANES
     a = a.reshape(L, n)
     if pad:
         a = jnp.concatenate([a, jnp.zeros((L, pad), jnp.uint32)], axis=1)
@@ -107,7 +107,7 @@ def fr_butterfly(lo, hi, tw):
     """(lo + tw*hi, lo - tw*hi) on equal-shaped (16, ...) Fr batches."""
     shape = lo.shape
     n = int(np.prod(shape[1:]))
-    if not use_pallas() or n < BLOCK:
+    if not use_pallas() or n < LANES:
         from .field_jax import FR
         t = FR.mont_mul(hi, tw)
         return FR.add(lo, t), FR.sub(lo, t)
@@ -122,7 +122,7 @@ def fr_mul(a, b):
     """Elementwise Montgomery product on (16, ...) Fr batches."""
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     n = int(np.prod(shape[1:]))
-    if not use_pallas() or n < BLOCK:
+    if not use_pallas() or n < LANES:
         from .field_jax import FR
         return FR.mont_mul(a, b)
     a_b = _blockify(jnp.broadcast_to(a, shape), n)
@@ -133,7 +133,7 @@ def fr_mul(a, b):
 def fr_sqr(a):
     shape = a.shape
     n = int(np.prod(shape[1:]))
-    if not use_pallas() or n < BLOCK:
+    if not use_pallas() or n < LANES:
         from .field_jax import FR
         return FR.mont_mul(a, a)
     a_b = _blockify(a, n)

@@ -268,7 +268,7 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     y1_alpha = common.neg_power(y1, MINUS_ALPHA)
     y1_gamma = common.neg_power(y1, MINUS_GAMMA)
 
-    u_at_x1 = mont_to_int(poly_eval_device(s1["u_coeffs"], mont_scalar(x1)))
+    u_at_x1 = mont_to_int(_eval_jit(n)(s1["u_coeffs"], mont_scalar(x1)))
     a_at_x1 = (u_at_x1 + (ra0_i + ra1_i * x1) * y1_alpha) % R
     pi_at_x1 = common.compute_pi_at_x1(pk.vk, instance, x1, y1_gamma)
     c_at_x1 = common.compute_c_at_x1(y1_gamma, y1_alpha, a_at_x1, pi_at_x1)
@@ -287,6 +287,11 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     d_g1 = msm_device(ygz[0][:, :d_len - 1], ygz[1][:, :d_len - 1], q_canon)
 
     return Proof(a_g1=a_g1, c_g1=c_g1, a_at_x1=a_at_x1, d_g1=d_g1)
+
+
+@lru_cache(maxsize=None)
+def _eval_jit(n: int):
+    return jax.jit(poly_eval_device)
 
 
 @lru_cache(maxsize=None)

@@ -49,9 +49,8 @@ class Polymath:
     def setup(self, circuit, rng=None):
         rng = rng or Rng()
         if self.backend == "jax":
-            from ..ops.srs import device_scalar_mul_backend
-            pk = _generator.generate_proving_key(
-                circuit, rng, scalar_mul_backend=device_scalar_mul_backend)
+            from ..ops.srs import generate_proving_key_device
+            pk = generate_proving_key_device(circuit, rng)
         else:
             pk = _generator.generate_proving_key(circuit, rng)
         return pk, pk.vk

@@ -29,8 +29,8 @@ def verify_proof(vk, proof, public_inputs, transcript_cls) -> bool:
     )
     x_minus_x1_g2 = bls.G2.msm([vk.e.x_g2, vk.e.one_g2], [1, (-x1) % R])
 
-    out = bls.multi_pairing(
+    from ..native import multi_pairing_is_one
+    return multi_pairing_is_one(
         [commitments_minus_evals, bls.G1.neg(proof.d_g1)],
         [vk.e.z_g2, x_minus_x1_g2],
     )
-    return out == Fq12.one()

@@ -41,12 +41,20 @@ class Transcript:
 
 
 class MerlinFieldTranscript(Transcript):
-    """Default transcript (STROBE-128 Merlin), reference merlin.rs."""
+    """Default transcript (STROBE-128 Merlin), reference merlin.rs.
+    Uses the native C STROBE when available (bit-identical)."""
 
     name = "merlin"
 
     def __init__(self, name: bytes):
-        self.t = MerlinTranscript(name)
+        try:
+            from ..native import NativeStrobe, native_available
+            if native_available():
+                self.t = _NativeMerlin(name)
+            else:
+                self.t = MerlinTranscript(name)
+        except Exception:
+            self.t = MerlinTranscript(name)
 
     def append_message(self, label: bytes, message: bytes):
         self.t.append_message(label, message)
@@ -57,6 +65,25 @@ class MerlinFieldTranscript(Transcript):
             x = int.from_bytes(buf[:32], "little") & _FR_MASK
             if x < R:
                 return x
+
+
+class _NativeMerlin:
+    """merlin::Transcript over the native STROBE implementation."""
+
+    def __init__(self, label: bytes):
+        from ..native import NativeStrobe
+        self.strobe = NativeStrobe(MerlinTranscript.MERLIN_PROTOCOL_LABEL)
+        self.append_message(b"dom-sep", label)
+
+    def append_message(self, label: bytes, message: bytes):
+        self.strobe.meta_ad(label, False)
+        self.strobe.meta_ad(len(message).to_bytes(4, "little"), True)
+        self.strobe.ad(message, False)
+
+    def challenge_bytes(self, label: bytes, n: int) -> bytes:
+        self.strobe.meta_ad(label, False)
+        self.strobe.meta_ad(n.to_bytes(4, "little"), True)
+        return self.strobe.prf(n, False)
 
 
 class _BufferHashTranscript(Transcript):
@@ -78,14 +105,24 @@ class _BufferHashTranscript(Transcript):
         return int.from_bytes(digest, "big") % R
 
 
+def _keccak_dispatch(data: bytes) -> bytes:
+    from .. import native
+    return native.keccak256(data)  # native when available, Python otherwise
+
+
+def _blake3_dispatch(data: bytes) -> bytes:
+    from .. import native
+    return native.blake3(data)
+
+
 class Keccak256Transcript(_BufferHashTranscript):
     name = "keccak256"
-    _hash = staticmethod(keccak256)
+    _hash = staticmethod(_keccak_dispatch)
 
 
 class Blake3Transcript(_BufferHashTranscript):
     name = "blake3"
-    _hash = staticmethod(lambda data: blake3(data, 32))
+    _hash = staticmethod(_blake3_dispatch)
 
 
 ALL_TRANSCRIPTS = [MerlinFieldTranscript, Keccak256Transcript, Blake3Transcript]

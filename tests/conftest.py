@@ -1,5 +1,10 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh so
-multi-chip sharding is exercised without TPU hardware (SURVEY.md §4)."""
+multi-chip sharding is exercised without TPU hardware (SURVEY.md §4).
+
+NB: the axon sitecustomize registers the remote-TPU backend at interpreter
+start and overrides platform selection, so env vars alone are not enough —
+the jax.config updates below win as long as no backend was initialized.
+"""
 
 import os
 
@@ -7,3 +12,14 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+except ImportError:
+    pass
