@@ -78,15 +78,16 @@ def _apply_jit(n: int):
 
 
 def batch_inverse_fq(x):
-    """Batch inversion of nonzero Fq elements (L, n) via prefix/suffix
-    product scans + one Fermat inversion."""
-    n = x.shape[-1]
-    prefix = jax.lax.associative_scan(FQ.mont_mul, x, axis=1)
-    suffix = jax.lax.associative_scan(FQ.mont_mul, x[:, ::-1], axis=1)[:, ::-1]
-    total_inv = FQ.inv(prefix[:, -1:])
-    left = jnp.concatenate([FQ.ones_mont((1,)), prefix[:, :-1]], axis=1)
-    right = jnp.concatenate([suffix[:, 1:], FQ.ones_mont((1,))], axis=1)
-    return FQ.mont_mul(FQ.mont_mul(left, right), total_inv)
+    """Batch inversion of nonzero Fq elements (L, n) by Fermat.
+
+    Compile-lean by design: ``FQ.inv`` is a lax.scan over exponent bits
+    whose body holds exactly two mont_mul instances, so the whole program
+    compiles in seconds.  (A Montgomery-trick prefix/suffix product halves
+    the arithmetic but XLA unrolls associative_scan into ~2 log n distinct
+    mont_mul graphs — two minutes of compile for a sub-millisecond op.
+    On TPU the scan's extra multiplies are bandwidth-trivial.)
+    """
+    return FQ.inv(x)
 
 
 def jac_to_affine_batch(p):
@@ -110,12 +111,20 @@ def fixed_base_mul(scalars, chunk: int = FB_CHUNK):
     (24, N).  All scalars must be nonzero (SRS exponents always are)."""
     table = _g1_table()
     n = scalars.shape[-1]
+    if n <= chunk:
+        # pad to a power of two (>= 4096) so compiled programs are shared
+        # across SRS vector sizes; pad scalars are 1 (nonzero), discarded.
+        n_pad = 1 << max(12, (n - 1).bit_length())
+        if n_pad != n:
+            one = jnp.zeros((16, n_pad - n), jnp.uint32).at[0].set(1)
+            scalars = jnp.concatenate([scalars, one], axis=1)
     outs_x, outs_y = [], []
-    for start in range(0, n, chunk):
-        end = min(start + chunk, n)
+    total = scalars.shape[-1]
+    for start in range(0, total, chunk):
+        end = min(start + chunk, total)
         size = end - start
         cs = scalars[:, start:end]
-        if size < chunk and n > chunk:
+        if size < chunk and total > chunk:
             pad = chunk - size
             # pad with scalar 1 (safe: nonzero, discarded after)
             one = jnp.zeros((16, pad), jnp.uint32).at[0].set(1)
@@ -126,8 +135,9 @@ def fixed_base_mul(scalars, chunk: int = FB_CHUNK):
         outs_x.append(ax[:, :size])
         outs_y.append(ay[:, :size])
     if len(outs_x) == 1:
-        return outs_x[0], outs_y[0]
-    return jnp.concatenate(outs_x, axis=1), jnp.concatenate(outs_y, axis=1)
+        return outs_x[0][:, :n], outs_y[0][:, :n]
+    return (jnp.concatenate(outs_x, axis=1)[:, :n],
+            jnp.concatenate(outs_y, axis=1)[:, :n])
 
 
 def fixed_base_mul_ints(scalar_ints, chunk: int = FB_CHUNK):

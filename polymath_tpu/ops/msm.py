@@ -122,15 +122,18 @@ def msm_device(xs, ys, scalars, chunk: int = DEFAULT_CHUNK):
     """MSM over device arrays -> host affine point.
 
     xs, ys: (24, N) affine Montgomery limbs; scalars: (16, N) canonical
-    (non-Montgomery) Fr limbs.  N is padded up to a power of two (>= 1024)
-    so compiled chunk programs are shared across circuit sizes — zero-digit
-    masking makes pad entries inert regardless of the padded point coords.
+    (non-Montgomery) Fr limbs.
+
+    Every call is padded up to a whole number of fixed-size chunks so ONE
+    compiled chunk program serves every MSM in the protocol regardless of
+    circuit size.  On this target the compile:run cost ratio is ~10^4:1
+    (a jac_add graph alone costs ~50 s of XLA/Mosaic compile vs <1 ms of
+    runtime), so wasting up to chunk-1 points of compute per call is far
+    cheaper than ever compiling a second shape.  Zero-digit masking makes
+    pad entries inert regardless of the padded point coordinates.
     """
     n = xs.shape[-1]
-    if n <= chunk:
-        n_pad = 1 << max(10, (n - 1).bit_length())
-    else:
-        n_pad = n  # the chunk loop pads the final partial chunk itself
+    n_pad = ((n + chunk - 1) // chunk) * chunk
     if n_pad != n:
         pad = n_pad - n
         xs = jnp.concatenate([xs, jnp.zeros((xs.shape[0], pad), jnp.uint32)], 1)
@@ -138,20 +141,12 @@ def msm_device(xs, ys, scalars, chunk: int = DEFAULT_CHUNK):
         scalars = jnp.concatenate(
             [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)], 1)
         n = n_pad
-    c, windows = _window_params(min(n, chunk))
+    c, windows = _window_params(chunk)
     wsums = None
     for start in range(0, n, chunk):
-        end = min(start + chunk, n)
-        size = end - start
-        cx, cy, cs = xs[:, start:end], ys[:, start:end], scalars[:, start:end]
-        if size < chunk and n > chunk:
-            # pad to the compiled chunk size with digit-0 entries
-            pad = chunk - size
-            cx = jnp.concatenate([cx, jnp.zeros((cx.shape[0], pad), jnp.uint32)], 1)
-            cy = jnp.concatenate([cy, jnp.zeros((cy.shape[0], pad), jnp.uint32)], 1)
-            cs = jnp.concatenate([cs, jnp.zeros((cs.shape[0], pad), jnp.uint32)], 1)
-            size = chunk
-        part = _msm_chunk_jit(size, c, windows)(cx, cy, cs)
+        end = start + chunk
+        part = _msm_chunk_jit(chunk, c, windows)(
+            xs[:, start:end], ys[:, start:end], scalars[:, start:end])
         wsums = part if wsums is None else _pair_add_jit()(wsums, part)
     return _horner_windows_host(wsums, c, windows)
 
