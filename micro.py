@@ -50,7 +50,6 @@ from polymath_tpu.ops.fixed_base import fixed_base_mul, batch_inverse_fq
 
 sc = jnp.asarray(ints_to_limbs([rng.randrange(R) for _ in range(N)],
                                FR_SPEC.L))
-pts = fixed_base_mul  # placeholder
 
 from polymath_tpu.ops.pallas_curve import jac_add_fused
 pj = (qa, qa, qa)

@@ -1,5 +1,9 @@
 """MiMC ``LongsightF322p3`` preimage circuit (tests/mimc.rs:46-143):
-322 rounds, 2 constraints per round, image public."""
+322 rounds, 2 constraints per round, image public.
+
+``rounds`` is parameterizable (default matches the reference) so tests and
+the driver dry-run can use reduced instances of the same structure.
+"""
 
 from __future__ import annotations
 
@@ -10,7 +14,6 @@ MIMC_ROUNDS = 322
 
 
 def mimc_hash(xl: int, xr: int, constants) -> int:
-    assert len(constants) == MIMC_ROUNDS
     for c in constants:
         t = (xl + c) % R
         xl, xr = (t * t % R * t + xr) % R, xl
@@ -18,18 +21,19 @@ def mimc_hash(xl: int, xr: int, constants) -> int:
 
 
 class MiMCDemo:
-    def __init__(self, xl=None, xr=None, constants=None):
+    def __init__(self, xl=None, xr=None, constants=None, rounds=None):
         self.xl = xl
         self.xr = xr
         self.constants = constants
+        self.rounds = len(constants) if rounds is None else rounds
 
     def generate_constraints(self, cs):
-        assert len(self.constants) == MIMC_ROUNDS
+        assert len(self.constants) == self.rounds
         xl_val, xr_val = self.xl, self.xr
         xl = cs.new_witness_variable(lambda: xl_val)
         xr = cs.new_witness_variable(lambda: xr_val)
 
-        for i in range(MIMC_ROUNDS):
+        for i in range(self.rounds):
             ci = self.constants[i]
             tmp_val = None if xl_val is None else (xl_val + ci) ** 2 % R
             tmp = cs.new_witness_variable((lambda v: lambda: v)(tmp_val))
@@ -40,7 +44,7 @@ class MiMCDemo:
                 new_xl_val = None
             else:
                 new_xl_val = ((xl_val + ci) * tmp_val + xr_val) % R
-            if i == MIMC_ROUNDS - 1:
+            if i == self.rounds - 1:
                 new_xl = cs.new_input_variable((lambda v: lambda: v)(new_xl_val))
             else:
                 new_xl = cs.new_witness_variable((lambda v: lambda: v)(new_xl_val))

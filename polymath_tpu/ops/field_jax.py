@@ -130,26 +130,36 @@ class FieldOps:
         """Montgomery product: a*b*R^-1 mod p (operands in Montgomery form).
 
         Interleaved CIOS, redundant accumulator, no per-step carries.
+        The outer limb loop is a ``lax.scan`` over a's limb axis, so the
+        emitted graph holds ONE step body (~15 ops) instead of L unrolled
+        copies — compile-lean for every XLA consumer (the fused Pallas
+        kernels use the unrolled limb-list engine in ll.py instead).
         """
         L = self.L
         shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
         bnd = len(shape)
+        a = jnp.broadcast_to(a, (L,) + shape)
+        b = jnp.broadcast_to(b, (L,) + shape)
         p = self._const(self.spec.p_limbs, bnd)
         zero1 = jnp.zeros((1,) + shape, jnp.uint32)
-        t = jnp.zeros((L + 1,) + shape, jnp.uint32)
+        t0 = jnp.zeros((L + 1,) + shape, jnp.uint32)
+        n0inv = self._n0inv
+
         # NB: no .at[].add here — scatter has no Mosaic lowering; use
         # shifted concats (equivalent, and fuses as pure vector ops).
-        for i in range(L):
-            ai = a[i]
+        def step(t, ai):
             p1 = ai[None] * b                      # 16x16 -> exact uint32
             t = t + jnp.concatenate([p1 & LIMB_MASK, zero1], axis=0) \
                   + jnp.concatenate([zero1, p1 >> LIMB_BITS], axis=0)
-            m = (t[0] * self._n0inv) & LIMB_MASK   # low 16 bits exact
+            m = (t[0] * n0inv) & LIMB_MASK         # low 16 bits exact
             p2 = m[None] * p
             t = t + jnp.concatenate([p2 & LIMB_MASK, zero1], axis=0) \
                   + jnp.concatenate([zero1, p2 >> LIMB_BITS], axis=0)
             carry0 = t[:1] >> LIMB_BITS            # t[0] & MASK == 0 now
             t = jnp.concatenate([t[1:2] + carry0, t[2:], zero1], axis=0)
+            return t, None
+
+        t, _ = jax.lax.scan(step, t0, a)
         return self.cond_sub_p(self.carry(t))
 
     def mont_sqr(self, a):
@@ -172,8 +182,10 @@ class FieldOps:
             K = L + 1
         zero1 = jnp.zeros((1,) + shape, jnp.uint32)
         zrest = jnp.zeros((K - L - 1,) + shape, jnp.uint32)
-        for _ in range(L):
-            m = (t[0] * self._n0inv) & LIMB_MASK
+        n0inv = self._n0inv
+
+        def step(t, _):
+            m = (t[0] * n0inv) & LIMB_MASK
             p2 = m[None] * p
             add = jnp.concatenate([p2 & LIMB_MASK, zero1], axis=0) \
                 + jnp.concatenate([zero1, p2 >> LIMB_BITS], axis=0)
@@ -182,6 +194,9 @@ class FieldOps:
             t = t + add
             carry0 = t[:1] >> LIMB_BITS
             t = jnp.concatenate([t[1:2] + carry0, t[2:], zero1], axis=0)
+            return t, None
+
+        t, _ = jax.lax.scan(step, t, None, length=L)
         # value now < p + p = 2p (since input < R*p)
         return self.cond_sub_p(self.carry(t[: L + 1]))
 

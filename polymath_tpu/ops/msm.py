@@ -133,6 +133,8 @@ def msm_device(xs, ys, scalars, chunk: int = DEFAULT_CHUNK):
     pad entries inert regardless of the padded point coordinates.
     """
     n = xs.shape[-1]
+    if n == 0:
+        return None  # MSM over the empty set = G1 identity (host convention)
     n_pad = ((n + chunk - 1) // chunk) * chunk
     if n_pad != n:
         pad = n_pad - n

@@ -4,11 +4,22 @@ Semantics match arkworks ``Radix2EvaluationDomain`` (SURVEY.md §2.2):
 natural-order DFT ``evals[i] = sum_j coeffs[j] w^(ij)`` with the canonical
 2-adic root derived from GENERATOR=7; iNTT scales by n^-1.
 
-Structure: bit-reversal gather (one precomputed permutation) followed by
-log2(n) fused DIT stages expressed as reshapes — no data-dependent gathers,
-so XLA lays every stage out as pure VPU work over the (L, n) limb array.
-Twiddle tables are built on device by doubling (log n steps, n total
-mont_muls) and cached per domain size.
+Structure (round 2 redesign — the round-1 per-stage XLA formulation kept
+the whole (16, n) array live per fused stage and OOM'd scoped VMEM at
+n = 2^19):
+
+  * ``ntt_local_batched`` — ONE Pallas kernel runs all log2(nl) DIT stages
+    of an nl <= 2048 transform entirely in VMEM, gridded over the batch
+    axis.  Butterflies are expressed with lane rolls + selects (no
+    reshapes, no cross-sublane relayouts): for stage half-width m,
+    t = a*tw; lo' = a + roll(t, -m); hi' = roll(a, +m) - t.
+  * sizes above 2048 use the Bailey 4-step split n = n1*n2: batched
+    column NTTs, outer twiddle multiply (w^(j2*k1), with n^-1 folded in
+    for the inverse), batched row NTTs, transpose.  Max n = 2^22.
+
+All tables (bit-reversal, stage twiddles, outer twiddles) are computed
+in-graph from iota + the on-device power ladder, so jitted callers embed
+no large host constants.
 
 Replaces reference prover.rs FFT call sites: poly_coeffs (iFFT,
 prover.rs:239-243), square_polynomial (FFT/iFFT at 2n, prover.rs:315-328).
@@ -21,10 +32,18 @@ from functools import lru_cache
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..hostmath.bls12_381 import R, FR_TWO_ADICITY, FR_TWO_ADIC_ROOT
+from ..utils.config import pallas_interpret
 from .limbs import FR_SPEC, int_to_limbs
 from .field_jax import FR
+from .ll import LL_FR
+
+L = FR_SPEC.L
+MAX_LOCAL = 2048   # largest single-kernel transform (VMEM-bounded)
+RB = 8             # batch rows per kernel instance (sublane tile)
 
 
 def domain_omega(n: int) -> int:
@@ -34,67 +53,169 @@ def domain_omega(n: int) -> int:
     return pow(FR_TWO_ADIC_ROOT, 1 << (FR_TWO_ADICITY - log_n), R)
 
 
-@lru_cache(maxsize=None)
-def _bitrev_indices(n: int) -> np.ndarray:
+def _mont_limbs(v: int) -> np.ndarray:
+    return np.asarray(int_to_limbs(FR_SPEC.to_mont_int(v % R), L),
+                      np.uint32)[:, None]
+
+
+def _bitrev_device(n: int):
+    """In-graph bit-reversal permutation indices (int32, length n)."""
     log_n = n.bit_length() - 1
-    idx = np.arange(n, dtype=np.int32)
-    rev = np.zeros(n, dtype=np.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rev = jnp.zeros((n,), jnp.int32)
     for b in range(log_n):
-        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+        rev = rev | (((idx >> b) & 1) << (log_n - 1 - b))
     return rev
 
 
 @lru_cache(maxsize=None)
-def _twiddle_table(n: int, inverse: bool):
-    """(L, n/2) Montgomery-form powers of omega_n (or its inverse)."""
+def _stage_indices(nl: int) -> np.ndarray:
+    """(S, nl) int32: twiddle-ladder index per stage and lane position.
+
+    Stage s (half-width m = 2^s) needs w_{2m}^(p mod m) at lane p, which
+    is ladder entry ((p & (m-1)) * nl/(2m)) of the nl-entry power table.
+    """
+    S = nl.bit_length() - 1
+    p = np.arange(nl, dtype=np.int64)
+    rows = []
+    for s in range(S):
+        m = 1 << s
+        rows.append(((p & (m - 1)) * (nl // (2 * m))).astype(np.int32))
+    return np.stack(rows) if rows else np.zeros((0, nl), np.int32)
+
+
+def _local_ntt_kernel(S: int, nl: int):
+    def kernel(x_ref, tw_ref, o_ref):
+        a = [x_ref[i] for i in range(L)]          # each (RB, nl)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (RB, nl), 1)
+        for s in range(S):
+            m = 1 << s
+            tw = [tw_ref[i, s] for i in range(L)]  # (1, nl)
+            t = LL_FR.mont_mul(a, tw)
+            t_lo = [pltpu.roll(v, nl - m, axis=1) for v in t]
+            a_hi = [pltpu.roll(v, m, axis=1) for v in a]
+            add = LL_FR.add(a, t_lo)
+            sub = LL_FR.sub(a_hi, t)
+            is_lo = (lane & np.uint32(m)) == 0
+            a = LL_FR.select(is_lo, add, sub)
+        o_ref[...] = LL_FR.join(a)
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _local_ntt_call(rows_total: int, nl: int):
+    S = nl.bit_length() - 1
+    xspec = pl.BlockSpec((L, RB, nl), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec((L, max(S, 1), 1, nl), lambda i: (0, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _local_ntt_kernel(S, nl),
+        grid=(pl.cdiv(rows_total, RB),),
+        in_specs=[xspec, twspec],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((L, rows_total, nl), jnp.uint32),
+        interpret=pallas_interpret(),
+    )
+
+
+def _local_ntt_jnp(x, tw, nl: int):
+    """XLA fallback of the fused kernel (same roll/select butterflies on
+    the scanned field ops — compile-lean for CPU testing).
+    x: (L, B, nl) bit-reversed; tw: (L, S, nl)."""
+    S = nl.bit_length() - 1
+    lane = jnp.arange(nl, dtype=jnp.uint32)[None, None, :]
+    for s in range(S):
+        m = 1 << s
+        t = FR.mont_mul(x, tw[:, s, None, :])
+        t_lo = jnp.roll(t, -m, axis=2)
+        a_hi = jnp.roll(x, m, axis=2)
+        add = FR.add(x, t_lo)
+        sub = FR.sub(a_hi, t)
+        is_lo = (lane & np.uint32(m)) == 0
+        x = jnp.where(is_lo, add, sub)
+    return x
+
+
+def ntt_local_batched(x, inverse: bool, scaled: bool = True):
+    """NTT along the LAST axis of (L, B, nl), nl <= MAX_LOCAL a power of 2.
+
+    ``scaled``: multiply by nl^-1 when inverse (the arkworks iFFT rule;
+    pass False when a caller folds the scale elsewhere)."""
+    from ..utils.config import use_pallas
+    from .pallas_field import fr_mul
+
+    _, B, nl = x.shape
+    assert nl <= MAX_LOCAL and nl & (nl - 1) == 0
+    if nl == 1:
+        return x
+    S = nl.bit_length() - 1
+
+    omega = domain_omega(nl)
+    if inverse:
+        omega = pow(omega, R - 2, R)
+
+    # twiddle tensor from the on-device power ladder (no host tables)
+    pw = powers_of(jnp.asarray(_mont_limbs(omega)), nl)        # (L, nl)
+    tw = pw[:, jnp.asarray(_stage_indices(nl))]                # (L, S, nl)
+
+    x = jnp.take(x, _bitrev_device(nl), axis=2)
+    if use_pallas():
+        pad = (-B) % RB
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((L, pad, nl), jnp.uint32)], axis=1)
+        out = _local_ntt_call(x.shape[1], nl)(x, tw.reshape(L, S, 1, nl))
+        if pad:
+            out = out[:, :B]
+    else:
+        out = _local_ntt_jnp(x, tw, nl)
+    if inverse and scaled:
+        out = fr_mul(out, jnp.asarray(_mont_limbs(pow(nl, R - 2, R)))[:, None])
+    return out
+
+
+def _ntt_4step(a, n: int, inverse: bool):
+    """Bailey decomposition n = n1*n2 (j = j2 + n2*j1, k = k1 + n1*k2):
+    NTT_n1 over j1, twiddle w^(j2*k1), NTT_n2 over j2, transpose out."""
+    from .pallas_field import fr_mul
+
+    log_n = n.bit_length() - 1
+    n1 = 1 << ((log_n + 1) // 2)
+    n2 = n // n1
+    assert n1 <= MAX_LOCAL and n2 <= MAX_LOCAL, "n too large (max 2^22)"
+
     omega = domain_omega(n)
     if inverse:
         omega = pow(omega, R - 2, R)
 
-    def build():
-        tbl = FR.ones_mont((1,))
-        k = 1
-        while k < n // 2:
-            factor = jnp.asarray(
-                int_to_limbs(FR_SPEC.to_mont_int(pow(omega, k, R)), FR_SPEC.L),
-                jnp.uint32)[:, None]
-            tbl = jnp.concatenate([tbl, FR.mont_mul(tbl, factor)], axis=1)
-            k *= 2
-        return tbl
+    X = jnp.swapaxes(a.reshape(L, n1, n2), 1, 2)    # (L, n2, n1) [j2, j1]
+    X = ntt_local_batched(X, inverse, scaled=False)  # [j2, k1]
 
-    if n // 2 == 0:
-        return FR.ones_mont((1,))
-    tbl = jax.jit(build)()
-    return jax.device_put(tbl)
+    # outer twiddle w^(j2*k1) via index math (uint32 wrap * is exact mod n
+    # because n | 2^32), gathered from the device power ladder
+    pw = powers_of(jnp.asarray(_mont_limbs(omega)), n)          # (L, n)
+    j2 = jax.lax.broadcasted_iota(jnp.uint32, (n2, n1), 0)
+    k1 = jax.lax.broadcasted_iota(jnp.uint32, (n2, n1), 1)
+    idx = ((j2 * k1) & np.uint32(n - 1)).astype(jnp.int32)
+    tw = pw[:, idx]                                             # (L, n2, n1)
+    if inverse:
+        tw = fr_mul(tw, jnp.asarray(_mont_limbs(pow(n, R - 2, R)))[:, None])
+    X = fr_mul(X, tw)
+
+    X = jnp.swapaxes(X, 1, 2)                        # (L, n1, n2) [k1, j2]
+    X = ntt_local_batched(X, inverse, scaled=False)  # [k1, k2]
+    return jnp.swapaxes(X, 1, 2).reshape(L, n)       # k = k1 + n1*k2
 
 
 def _ntt_impl(a, n: int, inverse: bool):
-    """Core NTT on (L, n) Montgomery limbs; traceable, static n.
-
-    Each stage is one fused butterfly kernel (pallas_field.fr_butterfly)
-    over the reshaped (L, nb, m) views — pure reshapes, no gathers.
-    """
-    from .pallas_field import fr_butterfly, fr_mul
-    tbl = _twiddle_table(n, inverse)
-    L = FR_SPEC.L
-    a = a[:, _bitrev_indices(n)]
-    m = 1
-    while m < n:
-        stride = n // (2 * m)
-        tw = jax.lax.slice(tbl, (0, 0), (L, n // 2), (1, stride))  # (L, m)
-        a = a.reshape(L, -1, 2, m)
-        lo = a[:, :, 0, :]
-        hi = a[:, :, 1, :]
-        nlo, nhi = fr_butterfly(lo, hi, tw[:, None, :])
-        a = jnp.stack([nlo, nhi], axis=2)
-        a = a.reshape(L, n)
-        m *= 2
-    if inverse:
-        n_inv = jnp.asarray(
-            int_to_limbs(FR_SPEC.to_mont_int(pow(n, R - 2, R)), L),
-            jnp.uint32)[:, None]
-        a = fr_mul(a, n_inv)
-    return a
+    """Core NTT on (L, n) Montgomery limbs; traceable, static n."""
+    if n == 1:
+        return a
+    if n <= MAX_LOCAL:
+        return ntt_local_batched(
+            a.reshape(L, 1, n), inverse, scaled=True).reshape(L, n)
+    return _ntt_4step(a, n, inverse)
 
 
 @lru_cache(maxsize=None)

@@ -79,14 +79,14 @@ class DeviceArtifacts:
                 self.srs[name] = points_to_device(pts)
 
 
-_ARTIFACTS: dict = {}
-
-
 def get_artifacts(pk) -> DeviceArtifacts:
-    key = id(pk)
-    if key not in _ARTIFACTS:
-        _ARTIFACTS[key] = DeviceArtifacts(pk)
-    return _ARTIFACTS[key]
+    # Cached on the key object itself (a dict keyed by id() would alias
+    # distinct keys after GC reuses the address).
+    art = pk.device.get("artifacts")
+    if art is None:
+        art = DeviceArtifacts(pk)
+        pk.device["artifacts"] = art
+    return art
 
 
 @lru_cache(maxsize=None)

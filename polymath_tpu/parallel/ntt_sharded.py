@@ -6,6 +6,10 @@ axis over ICI, row NTTs are local, and a final all_to_all restores the
 natural-order layout.  This is the sequence-parallel analogue for long
 polynomials (SURVEY.md §5: the Ulysses-style axis swap).
 
+The per-device local transforms reuse the single-chip fused Pallas kernel
+(ops.ntt.ntt_local_batched: all stages of one nl <= 2048 transform in
+VMEM).
+
 Derivation (j = j2 + n2*j1, k = k1 + n1*k2, w = w_n):
     evals[k1 + n1 k2]
       = sum_j2 w^(j2 k1) w_n2^(j2 k2) * [ sum_j1 A[j1,j2] w_n1^(j1 k1) ]
@@ -26,32 +30,8 @@ from jax.experimental.shard_map import shard_map
 from ..hostmath.bls12_381 import R
 from ..ops.limbs import FR_SPEC, int_to_limbs
 from ..ops.field_jax import FR
-from ..ops.ntt import domain_omega, _bitrev_indices, _twiddle_table
-from ..ops.pallas_field import fr_butterfly, fr_mul
-
-
-def _ntt_local_batched(a, n: int, inverse: bool):
-    """NTT along the LAST axis of (L, B, n); mirrors ops.ntt._ntt_impl."""
-    L = FR_SPEC.L
-    tbl = _twiddle_table(n, inverse)
-    a = a[..., _bitrev_indices(n)]
-    m = 1
-    while m < n:
-        stride = n // (2 * m)
-        tw = jax.lax.slice(tbl, (0, 0), (L, n // 2), (1, stride))  # (L, m)
-        B = a.shape[1]
-        a = a.reshape(L, B, -1, 2, m)
-        lo = a[:, :, :, 0, :]
-        hi = a[:, :, :, 1, :]
-        nlo, nhi = fr_butterfly(lo, hi, tw[:, None, None, :])
-        a = jnp.stack([nlo, nhi], axis=3).reshape(L, B, -1)
-        m *= 2
-    if inverse:
-        n_inv = jnp.asarray(
-            int_to_limbs(FR_SPEC.to_mont_int(pow(n, R - 2, R)), L),
-            jnp.uint32).reshape(L, 1, 1)
-        a = fr_mul(a, n_inv)
-    return a
+from ..ops.ntt import domain_omega, ntt_local_batched, powers_of
+from ..ops.pallas_field import fr_mul
 
 
 @lru_cache(maxsize=None)
@@ -62,8 +42,6 @@ def _outer_twiddle(n1: int, n2: int, inverse: bool):
     omega = domain_omega(n)
     if inverse:
         omega = pow(omega, R - 2, R)
-    from ..ops.ntt import powers_of
-    from ..ops.limbs import ints_to_limbs
 
     pw = powers_of(jnp.asarray(
         int_to_limbs(FR_SPEC.to_mont_int(omega), FR_SPEC.L))[:, None], n)
@@ -93,13 +71,13 @@ def ntt_sharded(a, mesh, n1: int | None = None, inverse: bool = False,
     def local(a_blk, tw_blk):
         # a_blk: (L, n1, n2/d) — local columns
         x = jnp.swapaxes(a_blk, 1, 2)              # (L, n2/d, n1)
-        x = _ntt_local_batched(x, n1, inverse)     # NTT over j1
+        x = ntt_local_batched(x, inverse)          # NTT over j1 (scales 1/n1)
         x = jnp.swapaxes(x, 1, 2)                  # (L, n1, n2/d)
         x = fr_mul(x, tw_blk)                      # twiddle w^(k1 j2)
         # transpose shard: split n1 into d chunks, concat along n2
         x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2,
                                tiled=True)         # (L, n1/d, n2)
-        x = _ntt_local_batched(x, n2, inverse)     # NTT over j2
+        x = ntt_local_batched(x, inverse)          # NTT over j2 (scales 1/n2)
         # x[k1_local, k2]; want natural order evals[k1 + n1 k2]:
         # flat natural = (k2-major over n2) x (k1) -> transpose back
         x = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1,
@@ -111,9 +89,6 @@ def ntt_sharded(a, mesh, n1: int | None = None, inverse: bool = False,
         in_specs=(P(None, None, axis), P(None, None, axis)),
         out_specs=P(None, None, axis),
     )(a.reshape(L, n1, n2), tw)
-    # out[k1, k2] with evals[k1 + n1 k2] -> natural flat = transpose
-    evals = jnp.swapaxes(out, 1, 2).reshape(L, n)
-    if inverse:
-        # scaling was applied per local NTT (1/n1 then 1/n2) = 1/n total
-        pass
-    return evals
+    # out[k1, k2] with evals[k1 + n1 k2] -> natural flat = transpose.
+    # inverse scaling: 1/n1 then 1/n2 per local NTT = 1/n total.
+    return jnp.swapaxes(out, 1, 2).reshape(L, n)

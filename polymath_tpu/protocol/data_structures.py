@@ -83,6 +83,43 @@ class VerifyingKey:
         return cls(e=e, n=n, m0=m0, sigma=sigma, omega=omega)
 
 
+# arkworks derives CanonicalSerialize on SAPMatrices (reference
+# common.rs:111-124): three u64 dims then a, b, c as Vec<Vec<(F, u64)>>.
+
+def sap_to_bytes(sap: SAPMatrices) -> bytes:
+    def row_to_bytes(row):
+        return codec.vec_to_bytes(
+            row, lambda t: codec.fr_to_bytes(t[0]) + codec.u64_to_bytes(t[1]))
+
+    out = bytearray()
+    out += codec.u64_to_bytes(sap.num_instance_variables)
+    out += codec.u64_to_bytes(sap.num_r1cs_witness_variables)
+    out += codec.u64_to_bytes(sap.num_r1cs_constraints)
+    for mat in (sap.a, sap.b, sap.c):
+        out += codec.vec_to_bytes(mat, row_to_bytes)
+    return bytes(out)
+
+
+def sap_from_reader(r: "codec.Reader") -> SAPMatrices:
+    m0 = r.u64()
+    m_w = r.u64()
+    n_r = r.u64()
+
+    def term():
+        coeff = r.fr()
+        col = r.u64()
+        return (coeff, col)
+
+    mats = [r.vec(lambda: r.vec(term)) for _ in range(3)]
+    return SAPMatrices(m0, m_w, n_r, *mats)
+
+
+_PK_VECTORS = (
+    "x_powers_g1", "x_powers_y_alpha_g1", "x_powers_zh_by_y_alpha_g1",
+    "x_powers_y_gamma_g1", "x_powers_y_gamma_z_g1", "uj_wj_lcs_by_y_alpha_g1",
+)
+
+
 @dataclass
 class ProvingKey:
     vk: VerifyingKey
@@ -97,3 +134,81 @@ class ProvingKey:
     x_powers_y_gamma_z_g1: list
     uj_wj_lcs_by_y_alpha_g1: list
     device: dict = field(default_factory=dict, repr=False, compare=False)
+
+    def to_bytes(self) -> bytes:
+        """arkworks-compatible compressed bytes (field order matches the
+        CanonicalSerialize derive, reference data_structures.rs:56-73)."""
+        out = bytearray(self.vk.to_bytes())
+        out += sap_to_bytes(self.sap_matrices)
+        for name in _PK_VECTORS:
+            out += codec.g1_vec_to_bytes(getattr(self, name))
+        return bytes(out)
+
+    @classmethod
+    def from_bytes(cls, b: bytes, validate: bool = False) -> "ProvingKey":
+        """Inverse of to_bytes.  `validate` runs the (slow) subgroup check
+        per point; the default trusts locally-produced keys, matching
+        arkworks' `deserialize_*_unchecked` fast path."""
+        vk_len = 336 + 24 + 32
+        vk = VerifyingKey.from_bytes(b[:vk_len])
+        r = codec.Reader(b, vk_len)
+        sap = sap_from_reader(r)
+        vecs = [r.vec(lambda: r.g1(validate=validate)) for _ in _PK_VECTORS]
+        return cls(vk, sap, *vecs)
+
+    # -- fast persistence of the packed device SRS -----------------------
+    # The compressed codec needs a sqrt per point to decompress; at bench
+    # scale (~12n points, n = 2^20) that is hours of host work.  The npz
+    # form stores the (24, N) affine Montgomery limb arrays directly, so a
+    # 2^20-scale key round-trips in seconds and loads straight to device.
+
+    def save_npz(self, path: str) -> None:
+        import numpy as np
+        from ..ops.curve_jax import points_to_device
+
+        arrays = {
+            "vk": np.frombuffer(self.vk.to_bytes(), dtype=np.uint8),
+            "sap": np.frombuffer(sap_to_bytes(self.sap_matrices),
+                                 dtype=np.uint8),
+        }
+        srs = self.device.get("srs", {})
+        for name in _PK_VECTORS:
+            if name in srs:
+                xs, ys = srs[name]
+            else:
+                xs, ys = points_to_device(getattr(self, name))
+            arrays[name + "_x"] = np.asarray(xs)
+            arrays[name + "_y"] = np.asarray(ys)
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load_npz(cls, path: str) -> "ProvingKey":
+        import numpy as np
+        from ..ops.limbs import FQ_SPEC, limbs_to_ints
+        from ..hostmath.bls12_381 import Fq
+
+        with np.load(path) as data:
+            vk = VerifyingKey.from_bytes(data["vk"].tobytes())
+            sap = sap_from_reader(codec.Reader(data["sap"].tobytes()))
+            vecs, srs = [], {}
+            for name in _PK_VECTORS:
+                xs = data[name + "_x"]
+                ys = data[name + "_y"]
+                srs[name] = (xs, ys)
+                # host affine form (needed for the small vectors + host
+                # backend); cheap relative to the device arrays.
+                host = [
+                    (Fq(FQ_SPEC.from_mont_int(x)), Fq(FQ_SPEC.from_mont_int(y)))
+                    for x, y in zip(limbs_to_ints(xs), limbs_to_ints(ys))
+                ]
+                vecs.append(host)
+        pk = cls(vk, sap, *vecs)
+        try:
+            import jax.numpy as jnp
+            pk.device["srs"] = {
+                k: (jnp.asarray(xs), jnp.asarray(ys))
+                for k, (xs, ys) in srs.items()
+            }
+        except ImportError:
+            pass
+        return pk

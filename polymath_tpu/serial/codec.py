@@ -158,3 +158,33 @@ def fr_vec_to_bytes(values) -> bytes:
 
 def g1_vec_to_bytes(points) -> bytes:
     return vec_to_bytes(list(points), g1_to_bytes)
+
+
+class Reader:
+    """Cursor over a byte string for canonical deserialization."""
+
+    def __init__(self, buf: bytes, off: int = 0):
+        self.buf = buf
+        self.off = off
+
+    def take(self, n: int) -> bytes:
+        b = self.buf[self.off:self.off + n]
+        if len(b) != n:
+            raise ValueError("unexpected end of input")
+        self.off += n
+        return b
+
+    def u64(self) -> int:
+        return int.from_bytes(self.take(8), "little")
+
+    def fr(self) -> int:
+        return fr_from_bytes(self.take(32))
+
+    def g1(self, validate: bool = True):
+        return g1_from_bytes(self.take(48), validate=validate)
+
+    def g2(self, validate: bool = True):
+        return g2_from_bytes(self.take(96), validate=validate)
+
+    def vec(self, de):
+        return [de() for _ in range(self.u64())]

@@ -6,7 +6,7 @@ import random
 from polymath_tpu.frontend.r1cs import ConstraintSystem, lc, synthesize
 from polymath_tpu.frontend.sap import SAPMatrices, sparse_matvec
 from polymath_tpu.protocol.poly_host import Radix2Domain
-from polymath_tpu.circuits import DummyCircuit, MiMCDemo, MIMC_ROUNDS
+from polymath_tpu.circuits import DummyCircuit
 from polymath_tpu.hostmath.bls12_381 import R
 
 rng = random.Random(99)
@@ -25,9 +25,6 @@ def _random_r1cs(m0_extra=2, n_w=3, n_c=4):
         v = rng.randrange(R)
         cs.new_witness_variable()
         cs_p.new_witness_variable(v)
-    # constraints: (sum of two vars) * var = known product witness
-    for setup_mode in (True,):
-        pass
     full = cs_p.full_assignment()
 
     def rand_lc():
@@ -36,8 +33,6 @@ def _random_r1cs(m0_extra=2, n_w=3, n_c=4):
         for _ in range(rng.randrange(1, 4)):
             col = rng.randrange(len(full))
             coeff = rng.randrange(R)
-            if col == 0:
-                var_args = None
             terms.append((coeff, col))
             val = (val + coeff * full[col]) % R
         return terms, val
