@@ -17,7 +17,10 @@ def _enable_compile_cache():
             os.path.join(os.path.expanduser("~"), ".cache", "polymath_jax"))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # 0.0: cache everything — this host's XLA:CPU compiles of even tiny
+        # limb-math programs run multiple seconds, and the threshold was
+        # observed to skip multi-minute modules.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

@@ -1,0 +1,72 @@
+"""One-jit sharded proving step on tiny shapes + host-oracle checks.
+
+Used by the driver's multichip dryrun (``__graft_entry__.dryrun_multichip``)
+and by the pytest suite on the 8-virtual-CPU-device mesh (SURVEY.md §4:
+the fake-backend layer).  Keeping both on the same shapes and code path
+means they share persistent-compile-cache entries.
+
+Validates the real multi-chip primitives of the prover:
+  * sequence-parallel NTT (Bailey split, two ``all_to_all`` transposes)
+    forward + inverse vs the host Radix2Domain oracle;
+  * data-parallel Pippenger MSM (per-device chunks, ``all_gather`` +
+    group-law fold) vs the host MSM oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+
+def run_sharded_check(mesh, n: int = 256, pts_per_dev: int = 8,
+                      seed: int = 11) -> None:
+    """Raises AssertionError on any mismatch vs the host oracles."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..hostmath import bls12_381 as bls
+    from ..hostmath.bls12_381 import R
+    from ..ops.limbs import FR_SPEC, ints_to_limbs, limbs_to_ints
+    from ..ops.curve_jax import points_to_device
+    from ..ops.msm import _window_params
+    from ..protocol.poly_host import Radix2Domain
+    from .ntt_sharded import ntt_sharded
+    from .msm_sharded import msm_sharded_partials, _horner_windows_host
+
+    n_devices = mesh.devices.size
+    rng = random.Random(seed)
+    npts = pts_per_dev * n_devices
+
+    coeffs = [rng.randrange(R) for _ in range(n)]
+    a = jnp.asarray(ints_to_limbs(
+        [FR_SPEC.to_mont_int(c) for c in coeffs], FR_SPEC.L))
+
+    base_pts = [bls.G1.mul(bls.G1.gen, rng.randrange(R)) for _ in range(8)]
+    pts = (base_pts * ((npts + 7) // 8))[:npts]
+    scalars = [rng.randrange(R) for _ in range(npts)]
+    xs, ys = points_to_device(pts)
+    sc = jnp.asarray(ints_to_limbs(scalars, FR_SPEC.L))
+
+    @jax.jit
+    def step(a, xs, ys, sc):
+        evals = ntt_sharded(a, mesh)                        # all_to_all x2
+        back = ntt_sharded(evals, mesh, inverse=True)       # all_to_all x2
+        _, wsums = msm_sharded_partials(xs, ys, sc, mesh)   # all_gather
+        return evals, back, wsums
+
+    c, windows = _window_params(npts // n_devices)
+    evals, back, wsums = step(a, xs, ys, sc)
+    jax.block_until_ready(wsums[0])
+
+    got = [FR_SPEC.from_mont_int(v)
+           for v in limbs_to_ints(np.asarray(evals))]
+    expect = Radix2Domain(n).fft(coeffs)
+    assert got == expect, "sharded NTT mismatch vs host oracle"
+    got_b = [FR_SPEC.from_mont_int(v)
+             for v in limbs_to_ints(np.asarray(back))]
+    assert got_b == coeffs, "sharded iNTT round-trip failed"
+
+    got_msm = _horner_windows_host(wsums, c, windows)
+    expect_msm = bls.G1.msm(pts, scalars)
+    assert got_msm == expect_msm, "sharded MSM mismatch vs host oracle"

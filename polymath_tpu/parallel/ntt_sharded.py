@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..hostmath.bls12_381 import R
 from ..ops.limbs import FR_SPEC, int_to_limbs
@@ -88,6 +88,9 @@ def ntt_sharded(a, mesh, n1: int | None = None, inverse: bool = False,
         local, mesh=mesh,
         in_specs=(P(None, None, axis), P(None, None, axis)),
         out_specs=P(None, None, axis),
+        # Pallas calls inside the body can't declare varying-mesh-axes
+        # metadata; skip the replication check.
+        check_vma=False,
     )(a.reshape(L, n1, n2), tw)
     # out[k1, k2] with evals[k1 + n1 k2] -> natural flat = transpose.
     # inverse scaling: 1/n1 then 1/n2 per local NTT = 1/n total.

@@ -182,10 +182,26 @@ class ProvingKey:
         np.savez(path, **arrays)
 
     @classmethod
-    def load_npz(cls, path: str) -> "ProvingKey":
+    def load_npz(cls, path: str, host_points: bool = False) -> "ProvingKey":
+        """Load a key saved by save_npz.
+
+        By default only the small SRS vectors (y_alpha: 3 pts, y_gamma:
+        2 pts — used host-side by the device prover) are decoded to host
+        affine form; the big vectors stay as packed device arrays (a host
+        decode of ~12n points is a Python loop — hours at n = 2^20).  Pass
+        host_points=True (small keys / host backend) to decode everything.
+        """
         import numpy as np
         from ..ops.limbs import FQ_SPEC, limbs_to_ints
         from ..hostmath.bls12_381 import Fq
+
+        small = ("x_powers_y_alpha_g1", "x_powers_y_gamma_g1")
+
+        def decode(xs, ys):
+            return [
+                (Fq(FQ_SPEC.from_mont_int(x)), Fq(FQ_SPEC.from_mont_int(y)))
+                for x, y in zip(limbs_to_ints(xs), limbs_to_ints(ys))
+            ]
 
         with np.load(path) as data:
             vk = VerifyingKey.from_bytes(data["vk"].tobytes())
@@ -194,14 +210,12 @@ class ProvingKey:
             for name in _PK_VECTORS:
                 xs = data[name + "_x"]
                 ys = data[name + "_y"]
-                srs[name] = (xs, ys)
-                # host affine form (needed for the small vectors + host
-                # backend); cheap relative to the device arrays.
-                host = [
-                    (Fq(FQ_SPEC.from_mont_int(x)), Fq(FQ_SPEC.from_mont_int(y)))
-                    for x, y in zip(limbs_to_ints(xs), limbs_to_ints(ys))
-                ]
-                vecs.append(host)
+                if host_points or name in small:
+                    vecs.append(decode(xs, ys))
+                else:
+                    vecs.append(None)
+                if not (name in small and not host_points):
+                    srs[name] = (xs, ys)
         pk = cls(vk, sap, *vecs)
         try:
             import jax.numpy as jnp

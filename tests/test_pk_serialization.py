@@ -48,7 +48,7 @@ def test_proving_key_npz_roundtrip(tmp_path):
     pk, vk = pm.setup(MiMCDemo(constants=consts), rng)
     path = str(tmp_path / "pk.npz")
     pk.save_npz(path)
-    pk2 = ProvingKey.load_npz(path)
+    pk2 = ProvingKey.load_npz(path, host_points=True)
     assert pk2.vk.to_bytes() == vk.to_bytes()
     # all six SRS vectors survive with exact host coordinates
     from polymath_tpu.protocol.data_structures import _PK_VECTORS
