@@ -27,9 +27,18 @@ def jac_identity(shape=()):
 
 
 def affine_to_jac(xy):
-    """(X, Y) affine limb arrays (no infinities) -> jacobian."""
+    """(X, Y) affine limb arrays -> jacobian.
+
+    The identity is encoded affine as (0, 0) (Y = 0 never occurs for a
+    real G1 point — no 2-torsion), mapping to Z = 0.  Real points get
+    Z = 1.  This keeps SRS vectors with identity entries (zero SAP
+    columns -> zero scalars, e.g. BenchCircuit filler variables) exact
+    through every device MSM."""
     X, Y = xy
-    return (X, Y, FQ.ones_mont(X.shape[1:]))
+    inf = FQ.is_zero(Y)
+    one = FQ.ones_mont(X.shape[1:])
+    z = jnp.where(inf[None], FQ.zeros(X.shape[1:]), one)
+    return (X, Y, z)
 
 
 def is_identity(p):
@@ -217,10 +226,11 @@ def prefix_scan_jac(pj, seq: int = 64):
 # -- host <-> device point conversion ---------------------------------------
 
 def points_to_device(points):
-    """List of host affine G1 points (no identities) -> (X, Y) Montgomery
-    limb arrays (24, N)."""
-    xs = [FQ_SPEC.to_mont_int(p[0].v) for p in points]
-    ys = [FQ_SPEC.to_mont_int(p[1].v) for p in points]
+    """List of host affine G1 points -> (X, Y) Montgomery limb arrays
+    (24, N).  ``None`` (the identity) encodes as (0, 0); see
+    affine_to_jac."""
+    xs = [0 if p is None else FQ_SPEC.to_mont_int(p[0].v) for p in points]
+    ys = [0 if p is None else FQ_SPEC.to_mont_int(p[1].v) for p in points]
     return (jnp.asarray(ints_to_limbs(xs, FQ_SPEC.L)),
             jnp.asarray(ints_to_limbs(ys, FQ_SPEC.L)))
 

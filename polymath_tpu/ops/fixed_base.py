@@ -91,7 +91,11 @@ def batch_inverse_fq(x):
 
 
 def jac_to_affine_batch(p):
-    """Jacobian (no identities) -> affine (X, Y) via batch inversion."""
+    """Jacobian -> affine (X, Y) via batch inversion.
+
+    Identity entries (Z = 0) come out as (0, 0) for free: Fermat gives
+    0^(p-2) = 0, so X*zinv^2 = Y*zinv^3 = 0 — exactly the affine identity
+    encoding affine_to_jac expects back."""
     X, Y, Z = p
     zinv = batch_inverse_fq(Z)
     zinv2 = FQ.mont_sqr(zinv)

@@ -116,25 +116,39 @@ def jac_add_core_wrap(p, q):
 
 
 DEFAULT_CHUNK = 1 << 17
+MIN_CHUNK = 1 << 12
 
 
-def msm_device(xs, ys, scalars, chunk: int = DEFAULT_CHUNK):
+def msm_device(xs, ys, scalars, chunk: int | None = None):
     """MSM over device arrays -> host affine point.
 
     xs, ys: (24, N) affine Montgomery limbs; scalars: (16, N) canonical
     (non-Montgomery) Fr limbs.
 
-    Every call is padded up to a whole number of fixed-size chunks so ONE
-    compiled chunk program serves every MSM in the protocol regardless of
-    circuit size.  On this target the compile:run cost ratio is ~10^4:1
-    (a jac_add graph alone costs ~50 s of XLA/Mosaic compile vs <1 ms of
-    runtime), so wasting up to chunk-1 points of compute per call is far
-    cheaper than ever compiling a second shape.  Zero-digit masking makes
-    pad entries inert regardless of the padded point coordinates.
+    Every call is padded up to a whole number of fixed-size chunks so a
+    handful of compiled chunk programs (power-of-two sizes between
+    MIN_CHUNK and DEFAULT_CHUNK) serve every MSM in the protocol
+    regardless of circuit size.  On this target the compile:run cost
+    ratio is ~10^4:1 (a jac_add graph alone costs ~50 s of XLA/Mosaic
+    compile vs <1 ms of runtime), so wasting up to chunk-1 points of
+    compute per call is far cheaper than compiling per exact shape.
+    Zero-digit masking makes pad entries inert regardless of the padded
+    point coordinates.
     """
     n = xs.shape[-1]
     if n == 0:
         return None  # MSM over the empty set = G1 identity (host convention)
+    if chunk is None:
+        from ..utils.config import on_tpu
+        if on_tpu():
+            # one chunk size = ONE compiled program for every MSM in the
+            # protocol (each distinct chunk class costs ~5 min of XLA/
+            # Mosaic compile; padding costs <0.5 s of VPU time)
+            chunk = DEFAULT_CHUNK
+        else:
+            # CPU (tests/small circuits): pad less, compile small
+            chunk = min(DEFAULT_CHUNK,
+                        max(MIN_CHUNK, 1 << (n - 1).bit_length()))
     n_pad = ((n + chunk - 1) // chunk) * chunk
     if n_pad != n:
         pad = n_pad - n
@@ -156,7 +170,7 @@ def msm_device(xs, ys, scalars, chunk: int = DEFAULT_CHUNK):
 DEVICE_MSM_MIN = 256  # below this the host Pippenger wins (no compile)
 
 
-def msm_host_points(points, scalars_int, chunk: int = DEFAULT_CHUNK):
+def msm_host_points(points, scalars_int, chunk: int | None = None):
     """Convenience: host affine points + int scalars -> host affine result."""
     if not points or not scalars_int:
         return None

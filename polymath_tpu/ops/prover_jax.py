@@ -141,6 +141,10 @@ def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int):
         w_pad = jnp.concatenate([w_coeffs, FR.zeros((n,))], axis=1)
         h_num = FR.sub(u2, w_pad)                   # (16, 2n)
         h = h_num[:, n:]                            # quotient by X^n - 1
+        # vanishing-division exactness (prover.rs:107-108): dividing
+        # p (deg < 2n) by X^n - 1 gives q = p[n:], r = p[:n] + p[n:];
+        # the protocol requires r == 0 (and p[2n-1] == 0 => deg h <= n-2).
+        vanish_rem_nz = jnp.count_nonzero(FR.add(h_num[:, :n], h))
 
         # witness-only u: rows < 2*m0 zeroed (instance columns live there)
         wu_evals = jnp.concatenate(
@@ -152,6 +156,7 @@ def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int):
             wu_coeffs=wu_coeffs,
             z_canon=FR.from_mont(z), u_canon=FR.from_mont(u_coeffs),
             h_canon=FR.from_mont(h),
+            vanish_rem_nz=vanish_rem_nz,
         )
 
     return jax.jit(stage1)
@@ -232,6 +237,10 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
         art.coo_c.row_idx, art.coo_c.col_idx, art.coo_c.coeffs_mont,
     )
     s1 = _stage1_jit(n, m0, m, n_r, cols)(x_m, z_r, coo_data)
+    # device analogue of prover.rs:107-108 (a kernel or witness bug must
+    # surface as a clean error here, not as an invalid proof)
+    assert int(s1["vanish_rem_nz"]) == 0, \
+        "vanishing division (u^2 - w) / Z_H must be exact"
 
     # -- blinding + commitments ------------------------------------------
     ra0_i, ra1_i = rng.randrange(R), rng.randrange(R)
@@ -282,6 +291,9 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
         s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
         mont_scalar(ra0_i), mont_scalar(ra1_i),
         mont_scalar(x1), mont_scalar(x2), eval_sum)
+    # prover.rs:221: the quotient division by (X - x1) must be exact
+    assert mont_to_int(rem) == 0, \
+        "quotient division by (X - x1) must be exact"
 
     ygz = art.srs["x_powers_y_gamma_z_g1"]
     d_g1 = msm_device(ygz[0][:, :d_len - 1], ygz[1][:, :d_len - 1], q_canon)

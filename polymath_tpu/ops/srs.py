@@ -34,11 +34,13 @@ from .curve_jax import jac_to_host
 
 
 def _affine_device_to_host(xy):
-    """Device affine (X, Y) Montgomery limb arrays -> host affine list."""
+    """Device affine (X, Y) Montgomery limb arrays -> host affine list.
+    (0, 0) is the device identity encoding -> host ``None``."""
     from .limbs import FQ_SPEC, limbs_to_ints
     xs = [FQ_SPEC.from_mont_int(v) for v in limbs_to_ints(np.asarray(xy[0]))]
     ys = [FQ_SPEC.from_mont_int(v) for v in limbs_to_ints(np.asarray(xy[1]))]
-    return [(bls.Fq(x), bls.Fq(y)) for x, y in zip(xs, ys)]
+    return [None if y == 0 else (bls.Fq(x), bls.Fq(y))
+            for x, y in zip(xs, ys)]
 
 
 def device_scalar_mul_backend(scalars: dict):
