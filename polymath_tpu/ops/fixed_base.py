@@ -81,8 +81,10 @@ def batch_inverse_fq(x):
     """Batch inversion of nonzero Fq elements (L, n) by Fermat.
 
     Compile-lean by design: ``FQ.inv`` is a lax.scan over exponent bits
-    whose body holds exactly two mont_mul instances, so the whole program
-    compiles in seconds.  (A Montgomery-trick prefix/suffix product halves
+    whose body holds exactly two mont_mul instances, keeping the compiled
+    graph a constant size independent of n (measured cold compile+run is
+    reported by kernel_metrics.py rather than claimed here).  (A
+    Montgomery-trick prefix/suffix product halves
     the arithmetic but XLA unrolls associative_scan into ~2 log n distinct
     mont_mul graphs — two minutes of compile for a sub-millisecond op.
     On TPU the scan's extra multiplies are bandwidth-trivial.)

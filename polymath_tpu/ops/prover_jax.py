@@ -219,24 +219,29 @@ def _stage2_jit(n: int, sigma: int, d_len: int):
 
 
 def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
+    from ..utils.timers import phase
+
     art = get_artifacts(pk)
     n, m0, m, n_r, cols, sigma = (art.n, art.m0, art.m, art.n_r, art.cols,
                                   art.sigma)
 
-    cs = synthesize(circuit, ConstraintSystem.PROVE)
+    with phase("prover::witness synthesis"):
+        cs = synthesize(circuit, ConstraintSystem.PROVE)
     instance = cs.instance_assignment
     witness = cs.witness_assignment
     assert len(instance) == m0
 
-    x_m = fr_ints_to_mont_device(instance)
-    z_r = fr_ints_to_mont_device(instance + witness)
+    with phase("prover::h2d assignment"):
+        x_m = fr_ints_to_mont_device(instance)
+        z_r = fr_ints_to_mont_device(instance + witness)
 
     coo_data = (
         art.coo_a.row_idx, art.coo_a.col_idx, art.coo_a.coeffs_mont,
         art.coo_b.row_idx, art.coo_b.col_idx, art.coo_b.coeffs_mont,
         art.coo_c.row_idx, art.coo_c.col_idx, art.coo_c.coeffs_mont,
     )
-    s1 = _stage1_jit(n, m0, m, n_r, cols)(x_m, z_r, coo_data)
+    with phase("prover::stage1 (matvecs+NTTs+h)"):
+        s1 = _stage1_jit(n, m0, m, n_r, cols)(x_m, z_r, coo_data)
     # device analogue of prover.rs:107-108 (a kernel or witness bug must
     # surface as a clean error here, not as an invalid proof)
     assert int(s1["vanish_rem_nz"]) == 0, \
@@ -246,7 +251,8 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     ra0_i, ra1_i = rng.randrange(R), rng.randrange(R)
 
     xp = art.srs["x_powers_g1"]
-    a_u = msm_device(xp[0][:, :n], xp[1][:, :n], s1["u_canon"])
+    with phase("prover::msm a_g1 (n)"):
+        a_u = msm_device(xp[0][:, :n], xp[1][:, :n], s1["u_canon"])
     # host: tiny r_a MSMs over the 3/2-element SRS vectors
     a_ra = bls.G1.msm(pk.x_powers_y_alpha_g1, [ra0_i, ra1_i])
     a_g1 = bls.G1.add(a_u, a_ra)
@@ -257,7 +263,8 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     u_lo = jnp.concatenate([s1["u_coeffs"], FR.zeros((1,))], axis=1)
     u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
     two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
-    r_big = msm_device(xp[0][:, :n + 1], xp[1][:, :n + 1], two_ra_u)
+    with phase("prover::msm r_g1 (n+1)"):
+        r_big = msm_device(xp[0][:, :n + 1], xp[1][:, :n + 1], two_ra_u)
     ra_sq = [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R, ra1_i * ra1_i % R]
     r_small = bls.G1.add(
         bls.G1.msm(pk.x_powers_y_alpha_g1, ra_sq),
@@ -265,9 +272,10 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     r_g1 = bls.G1.add(r_big, r_small)
 
     ujwj = art.srs["uj_wj_lcs_by_y_alpha_g1"]
-    c_w = msm_device(ujwj[0], ujwj[1], s1["z_canon"][:, m0:])
-    zh = art.srs["x_powers_zh_by_y_alpha_g1"]
-    c_h = msm_device(zh[0], zh[1], s1["h_canon"][:, :n - 1])
+    with phase("prover::msm c_g1 (cols-m0, n-1)"):
+        c_w = msm_device(ujwj[0], ujwj[1], s1["z_canon"][:, m0:])
+        zh = art.srs["x_powers_zh_by_y_alpha_g1"]
+        c_h = msm_device(zh[0], zh[1], s1["h_canon"][:, :n - 1])
     c_g1 = bls.G1.add(bls.G1.add(c_w, c_h), r_g1)
 
     # -- Fiat-Shamir round 1 ---------------------------------------------
@@ -287,16 +295,19 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
 
     d_len = 2 * (n - 1) + sigma * (MINUS_ALPHA + MINUS_GAMMA) + 1
     eval_sum = mont_scalar((a_at_x1 + x2 * c_at_x1) % R)
-    q_canon, rem = _stage2_jit(n, sigma, d_len)(
-        s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
-        mont_scalar(ra0_i), mont_scalar(ra1_i),
-        mont_scalar(x1), mont_scalar(x2), eval_sum)
+    with phase("prover::stage2 (D numerator + quotient scan)"):
+        q_canon, rem = _stage2_jit(n, sigma, d_len)(
+            s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
+            mont_scalar(ra0_i), mont_scalar(ra1_i),
+            mont_scalar(x1), mont_scalar(x2), eval_sum)
     # prover.rs:221: the quotient division by (X - x1) must be exact
     assert mont_to_int(rem) == 0, \
         "quotient division by (X - x1) must be exact"
 
     ygz = art.srs["x_powers_y_gamma_z_g1"]
-    d_g1 = msm_device(ygz[0][:, :d_len - 1], ygz[1][:, :d_len - 1], q_canon)
+    with phase("prover::msm d_g1 (~10n)"):
+        d_g1 = msm_device(ygz[0][:, :d_len - 1], ygz[1][:, :d_len - 1],
+                          q_canon)
 
     return Proof(a_g1=a_g1, c_g1=c_g1, a_at_x1=a_at_x1, d_g1=d_g1)
 

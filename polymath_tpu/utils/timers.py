@@ -1,0 +1,57 @@
+"""Phase-scoped wall-clock timers (ark-std start_timer!/end_timer! analogue).
+
+The reference wraps every generator/prover phase in `ark_std` timers that
+print only when the `print-trace` Cargo feature is on
+(/root/reference/src/generator.rs:28-148, prover.rs:32-61,
+Cargo.toml:51).  Same contract here: no-ops unless the env var
+POLYMATH_TRACE is set (to any non-empty value other than 0/off/false).
+
+On TPU the same scope also opens a ``jax.profiler.TraceAnnotation`` so the
+phases show up as named spans in captured profiler traces (SURVEY.md §5).
+
+Usage::
+
+    with phase("prover::ntt u,w"):
+        ...
+
+Nested phases indent like the reference's timer output.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import sys
+import time
+
+_DEPTH = 0
+
+
+def trace_enabled() -> bool:
+    return os.environ.get("POLYMATH_TRACE", "") not in ("", "0", "off",
+                                                        "false")
+
+
+@contextlib.contextmanager
+def phase(label: str):
+    global _DEPTH
+    if not trace_enabled():
+        yield
+        return
+    try:
+        import jax
+        ann = jax.profiler.TraceAnnotation(label)
+    except Exception:
+        ann = contextlib.nullcontext()
+    indent = "  " * _DEPTH
+    print(f"{indent}Start: {label}", file=sys.stderr)
+    _DEPTH += 1
+    t0 = time.time()
+    try:
+        with ann:
+            yield
+    finally:
+        _DEPTH -= 1
+        dt = time.time() - t0
+        human = f"{dt*1e3:.3f}ms" if dt < 1 else f"{dt:.3f}s"
+        print(f"{indent}End:   {label} {human}", file=sys.stderr)
