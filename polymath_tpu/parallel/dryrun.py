@@ -19,7 +19,7 @@ import random
 import numpy as np
 
 
-def run_sharded_check(mesh, n: int = 256, pts_per_dev: int = 8,
+def run_sharded_check(mesh, n: int = 64, pts_per_dev: int = 8,
                       seed: int = 11) -> None:
     """Raises AssertionError on any mismatch vs the host oracles."""
     import jax
@@ -48,15 +48,23 @@ def run_sharded_check(mesh, n: int = 256, pts_per_dev: int = 8,
     xs, ys = points_to_device(pts)
     sc = jnp.asarray(ints_to_limbs(scalars, FR_SPEC.L))
 
+    # Two jits, not one: XLA:CPU compile time is superlinear in module
+    # size (one fused step measured >560 s of compile on a 2-core host;
+    # the halves compile in a fraction of that and cache independently).
     @jax.jit
-    def step(a, xs, ys, sc):
+    def ntt_step(a):
         evals = ntt_sharded(a, mesh)                        # all_to_all x2
         back = ntt_sharded(evals, mesh, inverse=True)       # all_to_all x2
+        return evals, back
+
+    @jax.jit
+    def msm_step(xs, ys, sc):
         _, wsums = msm_sharded_partials(xs, ys, sc, mesh)   # all_gather
-        return evals, back, wsums
+        return wsums
 
     c, windows = _window_params(npts // n_devices)
-    evals, back, wsums = step(a, xs, ys, sc)
+    evals, back = ntt_step(a)
+    wsums = msm_step(xs, ys, sc)
     jax.block_until_ready(wsums[0])
 
     got = [FR_SPEC.from_mont_int(v)
