@@ -109,14 +109,14 @@ def _local_ntt_call(rows_total: int, nl: int):
                          memory_space=pltpu.VMEM)
     twspec = pl.BlockSpec((L, max(S, 1), 1, nl), lambda i: (0, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         _local_ntt_kernel(S, nl),
         grid=(pl.cdiv(rows_total, RB),),
         in_specs=[xspec, twspec],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((L, rows_total, nl), jnp.uint32),
         interpret=pallas_interpret(),
-    )
+    ))
 
 
 def _local_ntt_jnp(x, tw, nl: int):

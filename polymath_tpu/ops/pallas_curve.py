@@ -52,10 +52,17 @@ def _specs(rows_total: int):
     return spec
 
 
+# NB: the pallas_call callables are wrapped in jax.jit so the (large,
+# fully unrolled) kernel body is traced ONCE per shape and every later
+# call site inside an outer trace reuses the cached jaxpr as a call —
+# without this, each jac_add instance in an MSM graph re-traces ~50k
+# primitives (measured: 795k trace events / ~270 s of pure tracing for
+# one MSM chunk program).
+
 @lru_cache(maxsize=None)
 def _add_call(rows_total: int):
     spec = _specs(rows_total)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         _add_kernel,
         grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec] * 6,
@@ -64,13 +71,13 @@ def _add_call(rows_total: int):
             jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32)
             for _ in range(3)),
         interpret=pallas_interpret(),
-    )
+    ))
 
 
 @lru_cache(maxsize=None)
 def _double_call(rows_total: int):
     spec = _specs(rows_total)
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         _double_kernel,
         grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec] * 3,
@@ -79,7 +86,7 @@ def _double_call(rows_total: int):
             jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32)
             for _ in range(3)),
         interpret=pallas_interpret(),
-    )
+    ))
 
 
 def _to_blocks(p):

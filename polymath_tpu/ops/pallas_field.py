@@ -53,7 +53,7 @@ def _spec():
 @lru_cache(maxsize=None)
 def _bfly_call(rows_total: int):
     spec = _spec()
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         _bfly_kernel,
         grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec] * 3,
@@ -62,33 +62,33 @@ def _bfly_call(rows_total: int):
             jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32)
             for _ in range(2)),
         interpret=pallas_interpret(),
-    )
+    ))
 
 
 @lru_cache(maxsize=None)
 def _mul_call(rows_total: int):
     spec = _spec()
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         _mul_kernel,
         grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec] * 2,
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32),
         interpret=pallas_interpret(),
-    )
+    ))
 
 
 @lru_cache(maxsize=None)
 def _sqr_call(rows_total: int):
     spec = _spec()
-    return pl.pallas_call(
+    return jax.jit(pl.pallas_call(
         _sqr_kernel,
         grid=(pl.cdiv(rows_total, ROWS),),
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32),
         interpret=pallas_interpret(),
-    )
+    ))
 
 
 def _blockify(a, n):
