@@ -73,12 +73,19 @@ def main():
         pk, vk = pm.setup(circuit(), rng)
         setup_s = time.time() - t0
         print(f"# setup: {setup_s:.1f}s (n={pk.vk.n})", file=sys.stderr)
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            pk.save_npz(pk_path)
-            print(f"# setup: SRS cached to {pk_path}", file=sys.stderr)
-        except Exception as e:
-            print(f"# setup: SRS cache write failed: {e}", file=sys.stderr)
+        # device->host pull of the SRS through the TPU tunnel is slow
+        # (~6 MB/s measured) — the cache write is worth it exactly once
+        # per machine; skip with POLYMATH_BENCH_SKIP_SAVE=1 for one-off
+        # sizes.
+        if os.environ.get("POLYMATH_BENCH_SKIP_SAVE", "") not in ("1", "true"):
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                t0 = time.time()
+                pk.save_npz(pk_path)
+                print(f"# setup: SRS cached to {pk_path} "
+                      f"({time.time()-t0:.1f}s)", file=sys.stderr)
+            except Exception as e:
+                print(f"# setup: SRS cache write failed: {e}", file=sys.stderr)
 
     # warm-up proof (compiles); then timed reps
     t0 = time.time()

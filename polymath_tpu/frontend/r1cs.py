@@ -162,6 +162,24 @@ class ConstraintSystem:
             self.witness_assignment.append(self._value_of(f))
         return Variable(Variable.WITNESS, idx)
 
+    def alloc_witness_block(self, count: int, values=None) -> int:
+        """Bulk witness allocation; returns the first index.
+
+        The per-variable closure protocol (new_witness_variable) costs a
+        Python call per variable — ~6 s for the 2^20-variable bench
+        circuit.  Large circuits allocate filler/vector witnesses in one
+        block instead; ``values`` is a list (or a callable returning one)
+        of length ``count``, evaluated only in prove mode.
+        """
+        start = self.num_witness_variables
+        self.num_witness_variables += count
+        if self.mode == self.PROVE:
+            vals = values() if callable(values) else values
+            if vals is None or len(vals) != count:
+                raise AssignmentMissing("assignment missing in prove mode")
+            self.witness_assignment.extend(int(v) % R for v in vals)
+        return start
+
     def new_lc(self, combination: LinearCombination) -> Variable:
         idx = len(self.symbolic_lcs)
         self.symbolic_lcs.append(combination)

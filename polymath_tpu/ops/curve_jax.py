@@ -137,6 +137,79 @@ def jac_neg(p):
     return (X, FQ.neg(Y), Z)
 
 
+def mdbl_core(leaf):
+    """Double an affine (X, Y) point -> jacobian (mdbl-2007-bl, 1M+5S)."""
+    X1, Y1 = leaf
+    XX = FQ.mont_sqr(X1)
+    YY = FQ.mont_sqr(Y1)
+    YYYY = FQ.mont_sqr(YY)
+    t = FQ.mont_sqr(FQ.add(X1, YY))
+    Sh = FQ.sub(FQ.sub(t, XX), YYYY)
+    S = FQ.add(Sh, Sh)
+    M = FQ.add(FQ.add(XX, XX), XX)
+    T = FQ.sub(FQ.sub(FQ.mont_sqr(M), S), S)
+    C8 = FQ.add(YYYY, YYYY)
+    C8 = FQ.add(C8, C8)
+    C8 = FQ.add(C8, C8)
+    Y3 = FQ.sub(FQ.mont_mul(M, FQ.sub(S, T)), C8)
+    Z3 = FQ.add(Y1, Y1)
+    return (T, Y3, Z3)
+
+
+def jac_madd_core(p, leaf, fast: bool = False):
+    """Mixed add jacobian + affine (madd-2007-bl, 8M+3S; see ll.ll_jac_madd
+    for the case analysis and the fast/collision-flag contract).  Returns
+    (point, err) with err None unless fast."""
+    X1, Y1, Z1 = p
+    X2, Y2 = leaf
+    Z1Z1 = FQ.mont_sqr(Z1)
+    U2 = FQ.mont_mul(X2, Z1Z1)
+    S2 = FQ.mont_mul(FQ.mont_mul(Y2, Z1), Z1Z1)
+    H = FQ.sub(U2, X1)
+    I = FQ.mont_sqr(FQ.add(H, H))
+    J = FQ.mont_mul(H, I)
+    rr = FQ.sub(S2, Y1)
+    rr = FQ.add(rr, rr)
+    V = FQ.mont_mul(X1, I)
+    X3 = FQ.sub(FQ.sub(FQ.mont_sqr(rr), J), FQ.add(V, V))
+    YJ = FQ.mont_mul(Y1, J)
+    Y3 = FQ.sub(FQ.mont_mul(rr, FQ.sub(V, X3)), FQ.add(YJ, YJ))
+    Z3 = FQ.mont_mul(FQ.add(Z1, Z1), H)
+    out = (X3, Y3, Z3)
+
+    p_inf = is_identity(p)
+    leaf_inf = FQ.is_zero(Y2)
+    h_zero = FQ.eq(U2, X1)
+    r_zero = FQ.eq(S2, Y1)
+    live = ~p_inf & ~leaf_inf
+    shape = X1.shape[1:]
+
+    err = None
+    coll = h_zero & r_zero & live
+    if fast:
+        err = coll
+    else:
+        out = select_point(coll, mdbl_core(leaf), out)
+    out = select_point(h_zero & ~r_zero & live, jac_identity(shape), out)
+    one = FQ.ones_mont(shape)
+    out = select_point(p_inf, (X2, Y2, one), out)
+    out = select_point(leaf_inf, p, out)
+    return out, err
+
+
+def jac_madd(p, leaf, fast: bool = False):
+    """Batched mixed add with Pallas dispatch on TPU (>= 128 points)."""
+    from ..utils.config import use_pallas
+    if use_pallas():
+        from .pallas_curve import jac_madd_fused
+        shape = jnp.broadcast_shapes(p[0].shape, leaf[0].shape)
+        if int(np.prod(shape[1:])) >= 128:
+            p = tuple(jnp.broadcast_to(a, shape) for a in p)
+            leaf = tuple(jnp.broadcast_to(a, shape) for a in leaf)
+            return jac_madd_fused(p, leaf, fast)
+    return jac_madd_core(p, leaf, fast)
+
+
 # -- graph-lean batched reductions ------------------------------------------
 # These keep the number of jac_add instances in the traced graph small
 # (compile time on TPU scales with HLO op count; one jac_add is ~10^4 ops).

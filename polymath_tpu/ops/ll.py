@@ -161,6 +161,81 @@ def ll_jac_double(p, F=LL_FQ):
     return (X3, Y3, Z3)
 
 
+def ll_mdbl(leaf, F=LL_FQ):
+    """Double an affine point (mdbl-2007-bl): 1M + 5S — the cheap fallback
+    when a bucket run adds a point to itself."""
+    X1, Y1 = leaf
+    XX = F.mont_sqr(X1)
+    YY = F.mont_sqr(Y1)
+    YYYY = F.mont_sqr(YY)
+    t = F.mont_sqr(F.add(X1, YY))
+    Sh = F.sub(F.sub(t, XX), YYYY)
+    S = F.add(Sh, Sh)
+    M = F.add(F.add(XX, XX), XX)
+    T = F.sub(F.sub(F.mont_sqr(M), S), S)
+    C8 = F.add(YYYY, YYYY)
+    C8 = F.add(C8, C8)
+    C8 = F.add(C8, C8)
+    Y3 = F.sub(F.mont_mul(M, F.sub(S, T)), C8)
+    Z3 = F.add(Y1, Y1)
+    return (T, Y3, Z3)
+
+
+def ll_jac_madd(p, leaf, F=LL_FQ, fast=False):
+    """Mixed addition jacobian += affine (madd-2007-bl): 8M + 3S vs the
+    11M + 5S general add — the MSM bucket scan's leaves are always affine
+    SRS points, so this is the hot combine.
+
+    Affine identity encodes as (0, 0) (Y = 0 never occurs on G1, see
+    curve_jax.affine_to_jac); masked-out leaves use the same encoding.
+
+    fast=True: skip the doubling fallback (1M + 5S more) and instead
+    return an error mask that is set when acc == leaf would have required
+    a doubling.  Sound for the prover's MSMs — the SRS bases are distinct
+    powers of a random trapdoor, so a partial bucket sum colliding with
+    the next base has negligible probability — and the caller asserts the
+    flag is clear.  Returns (point, err) with err None unless fast.
+    """
+    X1, Y1, Z1 = p
+    X2, Y2 = leaf
+    Z1Z1 = F.mont_sqr(Z1)
+    U2 = F.mont_mul(X2, Z1Z1)
+    S2 = F.mont_mul(F.mont_mul(Y2, Z1), Z1Z1)
+    H = F.sub(U2, X1)
+    I = F.mont_sqr(F.add(H, H))
+    J = F.mont_mul(H, I)
+    rr = F.sub(S2, Y1)
+    rr = F.add(rr, rr)
+    V = F.mont_mul(X1, I)
+    X3 = F.sub(F.sub(F.mont_sqr(rr), J), F.add(V, V))
+    YJ = F.mont_mul(Y1, J)
+    Y3 = F.sub(F.mont_mul(rr, F.sub(V, X3)), F.add(YJ, YJ))
+    Z3 = F.mont_mul(F.add(Z1, Z1), H)
+    out = (X3, Y3, Z3)
+
+    p_inf = F.is_zero(Z1)
+    leaf_inf = F.is_zero(Y2)
+    h_zero = F.eq(U2, X1)
+    r_zero = F.eq(S2, Y1)
+    live = ~p_inf & ~leaf_inf
+
+    def sel(mask, a, b):
+        return tuple(F.select(mask, x, y) for x, y in zip(a, b))
+
+    err = None
+    coll = h_zero & r_zero & live
+    if fast:
+        err = coll
+    else:
+        out = sel(coll, ll_mdbl(leaf, F), out)
+    idn = (F.ones_mont(X1[0]), F.ones_mont(X1[0]), F.zeros(X1[0]))
+    out = sel(h_zero & ~r_zero & live, idn, out)   # P + (-P)
+    one = F.ones_mont(X1[0])
+    out = sel(p_inf, (X2, Y2, one), out)
+    out = sel(leaf_inf, p, out)
+    return out, err
+
+
 def ll_jac_add(p, q, F=LL_FQ):
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q

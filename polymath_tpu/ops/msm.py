@@ -5,18 +5,32 @@ prover.rs:379-384, the dominant prover cost: ~12n point-scalar products per
 proof across 8 MSMs, SURVEY.md §2.3).
 
 TPU formulation — no data-dependent scatter exists on TPU, so classic
-bucket accumulation is recast as sort + prefix-scan + threshold gather:
+bucket accumulation is recast as sort + blocked scan + threshold gather.
+Per window w (c-bit digits):
 
-  per window w (c-bit digits):
-    1. d_i = digit_w(s_i); sort points by d_i descending (argsort+gather);
-    2. inclusive prefix sums PS_k of sorted points via
-       ``jax.lax.associative_scan`` over the batched Jacobian add;
-    3. sum_i d_i P_i = sum_{t=1}^{2^c-1} PS_{count(d >= t)} — a histogram/
-       cumsum gives the counts, a gather + balanced tree-add finishes.
-  window results combine by Horner: acc = 2^c acc + W_w.
+  1. d_i = digit_w(s_i); sort points by d_i descending (argsort+gather);
+  2. view the sorted chunk as (rows, seq) and run ONE inclusive
+     mixed-add scan along seq (leaves are affine SRS points: madd-2007-bl,
+     8M+3S per add instead of the general 11M+5S), emitting local
+     prefixes; a tiny recursive scan over the per-row totals gives
+     exclusive row offsets;
+  3. sum_i d_i P_i = sum_{t=1}^{2^c-1} PS_{cnt(d >= t)} where the global
+     prefix PS_k = local[k] + row_offset[row(k)] is materialized ONLY at
+     the 2^c-1 threshold positions (one general add each) — the full
+     second combine pass of a classic two-level scan is skipped;
+  4. balanced fold of the gathered threshold points per window.
 
-Large inputs stream through fixed-size chunks (bounds scan memory and lets
-XLA reuse one compiled program); per-window partial sums add across chunks.
+  Window results combine by Horner: acc = 2^c acc + W_w (host, tiny).
+
+All windows process as one batched axis, so the graph holds one madd scan
+regardless of window count.  Large inputs stream through fixed-size chunks
+inside ONE jitted fori_loop (a single device dispatch per MSM — dispatch
+latency through the TPU tunnel is ~30 ms, so per-chunk host loops are
+ruinous); per-window partial sums add across chunks in the loop carry.
+
+``fast=True`` skips the doubling fallback in the madd (collision of a
+partial bucket sum with the next base point); sound for SRS bases (distinct
+powers of a random trapdoor), guarded by an error flag the caller asserts.
 """
 
 from __future__ import annotations
@@ -31,19 +45,30 @@ from ..hostmath.bls12_381 import R
 from .limbs import FR_SPEC, FQ_SPEC, ints_to_limbs
 from .field_jax import FR, FQ
 from .curve_jax import (
-    jac_identity, jac_add, jac_double, affine_to_jac, select_point,
-    points_to_device, jac_to_host, prefix_scan_jac, fold_sum_jac,
+    jac_identity, jac_add, jac_madd, select_point,
+    points_to_device, jac_to_host, fold_sum_jac, prefix_scan_jac,
 )
 
 SCALAR_BITS = 255
+SCAN_SEQ = 64
 
 
 def _window_params(n: int):
-    """Pick window width c and count for an n-point MSM."""
-    if n <= 32:
+    """Pick window width c and count for an n-point MSM chunk.
+
+    Total adds per chunk ~ W*(n + 2*2^c) with W = ceil(255/c): larger c
+    trades scan adds for threshold/fold adds; c ~ log2(n) - 4 balances
+    them.  POLYMATH_MSM_C overrides for tuning."""
+    import os
+    env = os.environ.get("POLYMATH_MSM_C")
+    if env:
+        c = int(env)
+    elif n <= 32:
         c = 4
+    elif n <= 4096:
+        c = 8
     else:
-        c = min(16, max(4, int(np.log2(max(n, 2))) - 2))
+        c = min(15, max(8, int(np.log2(max(n, 2))) - 4))
     windows = (SCALAR_BITS + c - 1) // c
     return c, windows
 
@@ -53,35 +78,137 @@ def _digits(scalars, c: int, windows: int):
     return FR.window_digits(scalars, c, windows)
 
 
-def _msm_chunk(xs, ys, scalars, c: int, windows: int):
-    """One chunk: returns jacobian partial sums with trailing axis
-    length `windows`.  All windows are processed as one batched axis
-    (shape (L, W, n)) so the graph holds a single set of point-add
-    instances regardless of window count."""
+def _scan_local_madd(px, py, seq: int, fast: bool):
+    """Inclusive mixed-add scan within rows of seq sorted leaves.
+
+    px, py: (L, W, n) sorted affine leaves (identity = (0,0)).
+    Returns (local (3 coords of (L, W, n)), totals (3 of (L, W, rows)),
+    err bool or None)."""
+    Lq, W, n = px.shape
+    seq = min(seq, n)
+    rows = n // seq
+    assert rows * seq == n
+    pxr = jnp.moveaxis(px.reshape(Lq, W, rows, seq), -1, 0)  # (seq, L, W, rows)
+    pyr = jnp.moveaxis(py.reshape(Lq, W, rows, seq), -1, 0)
+
+    acc0 = jac_identity((W, rows))
+    err0 = jnp.zeros((W, rows), jnp.bool_) if fast else None
+
+    def body(carry, xy):
+        acc, err = carry
+        nxt, e = jac_madd(acc, xy, fast=fast)
+        if fast:
+            err = err | e
+        return (nxt, err), nxt
+
+    (totals, err), local = jax.lax.scan(body, (acc0, err0), (pxr, pyr))
+    # local: 3 coords of (seq, L, W, rows) -> (L, W, n)
+    local = tuple(
+        jnp.moveaxis(a, 0, -1).reshape(Lq, W, n) for a in local)
+    return local, totals, err
+
+
+def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False):
+    """One chunk: (L, n) affine limbs + (16, n) canonical scalars ->
+    (jacobian window sums with trailing axis `windows`, err bool|None)."""
     n = xs.shape[-1]
+    seq = min(SCAN_SEQ, n)
     digits = _digits(scalars, c, windows)            # (W, n)
     order = jnp.argsort(-digits, axis=-1)            # descending per window
     d_sorted = jnp.take_along_axis(digits, order, axis=-1)
-    px = xs[:, order]                                # (L, W, n)
-    py = ys[:, order]
-    pj = affine_to_jac((px, py))
-    # digit-0 points contribute nothing; mask to identity (also covers
-    # padded garbage entries)
     live = d_sorted > 0
-    pj = select_point(live, pj, jac_identity((windows, n)))
-    ps = prefix_scan_jac(pj)
+    # one fused gather of both coords, then mask dead leaves to (0, 0)
+    xy = jnp.concatenate([xs, ys], axis=0)           # (2L, n)
+    g = xy[:, order]                                 # (2L, W, n)
+    g = jnp.where(live[None], g, 0)
+    pad = (-n) % seq
+    if pad:
+        # pad with dead identity leaves (digit 0 at the tail keeps the
+        # descending order and leaves all threshold counts unchanged)
+        g = jnp.concatenate(
+            [g, jnp.zeros(g.shape[:-1] + (pad,), jnp.uint32)], axis=-1)
+        d_sorted = jnp.concatenate(
+            [d_sorted, jnp.zeros((windows, pad), jnp.int32)], axis=-1)
+        n += pad
+    Lq = xs.shape[0]
+    px, py = g[:Lq], g[Lq:]
+
+    local, totals, err = _scan_local_madd(px, py, seq, fast)
+    rows = n // seq
+    if rows > 1:
+        row_ps = prefix_scan_jac(totals)             # (L, W, rows) inclusive
+        idn1 = jac_identity((windows, 1))
+        offs = tuple(jnp.concatenate([i1, a[..., :-1]], axis=-1)
+                     for i1, a in zip(idn1, row_ps))  # exclusive
+    else:
+        offs = None
+
     # per-window counts of digits >= t for t = 1..2^c-1
     flat = (d_sorted + (jnp.arange(windows, dtype=jnp.int32)[:, None] << c))
     hist = jnp.bincount(flat.reshape(-1), length=windows << c)
     hist = hist.reshape(windows, 1 << c)
     cnt = (n - jnp.cumsum(hist, axis=-1))[:, :-1]    # (W, 2^c - 1)
     pos = jnp.clip(cnt - 1, 0, n - 1)
-    gathered = tuple(
-        jnp.take_along_axis(a, pos[None], axis=-1) for a in ps)
-    gathered = select_point(cnt > 0, gathered,
-                            jac_identity((windows, (1 << c) - 1)))
-    wsum = fold_sum_jac(gathered)                    # (L, W, 1)
-    return tuple(a[..., 0] for a in wsum)
+    loc_g = tuple(
+        jnp.take_along_axis(a, pos[None], axis=-1) for a in local)
+    if offs is not None:
+        off_g = tuple(
+            jnp.take_along_axis(a, (pos // seq)[None], axis=-1) for a in offs)
+        ps_g = jac_add(loc_g, off_g)                 # general add at thresholds
+    else:
+        ps_g = loc_g
+    ps_g = select_point(cnt > 0, ps_g,
+                        jac_identity((windows, (1 << c) - 1)))
+    wsum = fold_sum_jac(ps_g)                        # (L, W, 1)
+    if fast:
+        err = jnp.any(err)
+    return tuple(a[..., 0] for a in wsum), err
+
+
+def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
+             fast: bool, mont: bool):
+    """Whole MSM inside one trace: fori_loop over fixed-size chunks."""
+    if mont:
+        sc = FR.from_mont(sc)
+
+    def one(k):
+        xs_k = jax.lax.dynamic_slice_in_dim(xs, k * chunk, chunk, 1)
+        ys_k = jax.lax.dynamic_slice_in_dim(ys, k * chunk, chunk, 1)
+        sc_k = jax.lax.dynamic_slice_in_dim(sc, k * chunk, chunk, 1)
+        return _msm_chunk(xs_k, ys_k, sc_k, c, windows, fast)
+
+    if n_chunks == 1:
+        wsum, err = one(0)
+        if not fast:
+            err = jnp.zeros((), jnp.bool_)
+        return wsum, err
+
+    def body(k, carry):
+        acc, err_acc = carry
+        part, err = one(k)
+        acc = jac_add(acc, part)
+        if fast:
+            err_acc = err_acc | err
+        return (acc, err_acc)
+
+    acc0 = jac_identity((windows,))
+    acc, err = jax.lax.fori_loop(
+        0, n_chunks, body, (acc0, jnp.zeros((), jnp.bool_)))
+    return acc, err
+
+
+@lru_cache(maxsize=None)
+def _msm_run_jit(chunk: int, n_chunks: int, c: int, windows: int,
+                 fast: bool, mont: bool):
+    # inputs arrive pre-padded to n_chunks*chunk (msm_device), so the
+    # program key is exactly (chunk, n_chunks, ...) — the prover's MSM
+    # sizes {n, n+1, cols-m0, n-1, 10n+22} collapse to ~3 compiled
+    # programs instead of one per exact length
+    def run(xs, ys, sc):
+        wsum, err = _msm_run(xs, ys, sc, chunk, n_chunks, c, windows,
+                             fast, mont)
+        return jnp.stack(wsum), err
+    return jax.jit(run)
 
 
 def _horner_windows_host(wsums, c: int, windows: int):
@@ -99,72 +226,69 @@ def _horner_windows_host(wsums, c: int, windows: int):
     return acc
 
 
-@lru_cache(maxsize=None)
-def _msm_chunk_jit(n: int, c: int, windows: int):
-    f = lambda xs, ys, sc: _msm_chunk(xs, ys, sc, c, windows)
-    return jax.jit(f)
+DEFAULT_CHUNK = 1 << 18
+MIN_CHUNK = 1 << 6  # CPU floor: small programs compile fast on XLA:CPU
 
 
-@lru_cache(maxsize=None)
-def _pair_add_jit():
-    return jax.jit(jac_add_core_wrap)
-
-
-def jac_add_core_wrap(p, q):
-    from .curve_jax import jac_add_core
-    return jac_add_core(p, q)
-
-
-DEFAULT_CHUNK = 1 << 17
-MIN_CHUNK = 1 << 12
-
-
-def msm_device(xs, ys, scalars, chunk: int | None = None):
+def msm_device(xs, ys, scalars, chunk: int | None = None,
+               fast: bool = False, mont: bool = False, n_eff: int | None = None):
     """MSM over device arrays -> host affine point.
 
-    xs, ys: (24, N) affine Montgomery limbs; scalars: (16, N) canonical
-    (non-Montgomery) Fr limbs.
+    xs, ys: (24, N) affine Montgomery limbs; scalars: (16, M) Fr limbs
+    (canonical, or Montgomery with mont=True).  When M < N the remaining
+    bases get zero scalars (callers keep the SRS pre-padded on device and
+    pass short per-proof scalar vectors — re-padding multi-GB point arrays
+    per call would double HBM).
 
-    Every call is padded up to a whole number of fixed-size chunks so a
-    handful of compiled chunk programs (power-of-two sizes between
-    MIN_CHUNK and DEFAULT_CHUNK) serve every MSM in the protocol
-    regardless of circuit size.  On this target the compile:run cost
-    ratio is ~10^4:1 (a jac_add graph alone costs ~50 s of XLA/Mosaic
-    compile vs <1 ms of runtime), so wasting up to chunk-1 points of
-    compute per call is far cheaper than compiling per exact shape.
-    Zero-digit masking makes pad entries inert regardless of the padded
-    point coordinates.
+    The whole MSM runs as ONE jitted program per (size, chunk) class: a
+    fori_loop streams fixed-size chunks so a handful of compiled programs
+    (one scan body each) serve every MSM in the protocol.  fast=True skips
+    the madd doubling fallback (see module docstring) and asserts the
+    collision flag instead.
     """
-    n = xs.shape[-1]
+    n = xs.shape[-1] if n_eff is None else n_eff
     if n == 0:
         return None  # MSM over the empty set = G1 identity (host convention)
     if chunk is None:
         from ..utils.config import on_tpu
         if on_tpu():
-            # one chunk size = ONE compiled program for every MSM in the
-            # protocol (each distinct chunk class costs ~5 min of XLA/
-            # Mosaic compile; padding costs <0.5 s of VPU time)
+            # one chunk size = ONE compiled scan body for every MSM in the
+            # protocol (each distinct chunk class is minutes of XLA/Mosaic
+            # compile; a mostly-dead trailing chunk costs ~0.2 s of VPU)
             chunk = DEFAULT_CHUNK
         else:
             # CPU (tests/small circuits): pad less, compile small
             chunk = min(DEFAULT_CHUNK,
                         max(MIN_CHUNK, 1 << (n - 1).bit_length()))
-    n_pad = ((n + chunk - 1) // chunk) * chunk
-    if n_pad != n:
-        pad = n_pad - n
-        xs = jnp.concatenate([xs, jnp.zeros((xs.shape[0], pad), jnp.uint32)], 1)
-        ys = jnp.concatenate([ys, jnp.zeros((ys.shape[0], pad), jnp.uint32)], 1)
-        scalars = jnp.concatenate(
-            [scalars, jnp.zeros((scalars.shape[0], pad), jnp.uint32)], 1)
-        n = n_pad
+    m = min(scalars.shape[-1], n)
+    n_chunks = max(1, (m + chunk - 1) // chunk)
+    lim = n_chunks * chunk
+    # pad scalars with zeros (inert digits) up to whole chunks; pad/trim
+    # the bases to match — SRS arrays are stored pre-padded (identity
+    # points at the tail), so the hot path slices views, never copies
+    if scalars.shape[-1] != lim:
+        if scalars.shape[-1] < lim:
+            scalars = jnp.concatenate(
+                [scalars,
+                 jnp.zeros((scalars.shape[0], lim - scalars.shape[-1]),
+                           jnp.uint32)], axis=1)
+        else:
+            scalars = scalars[:, :lim]
+    if xs.shape[-1] != lim:
+        if xs.shape[-1] < lim:
+            z24 = jnp.zeros((xs.shape[0], lim - xs.shape[-1]), jnp.uint32)
+            xs = jnp.concatenate([xs, z24], axis=1)
+            ys = jnp.concatenate([ys, z24], axis=1)
+        else:
+            xs, ys = xs[:, :lim], ys[:, :lim]
     c, windows = _window_params(chunk)
-    wsums = None
-    for start in range(0, n, chunk):
-        end = start + chunk
-        part = _msm_chunk_jit(chunk, c, windows)(
-            xs[:, start:end], ys[:, start:end], scalars[:, start:end])
-        wsums = part if wsums is None else _pair_add_jit()(wsums, part)
-    return _horner_windows_host(wsums, c, windows)
+    wsums, err = _msm_run_jit(chunk, n_chunks, c, windows,
+                              fast, mont)(xs, ys, scalars)
+    if fast:
+        assert not bool(err), (
+            "MSM madd collision: repeated base point hit the fast-mode "
+            "doubling skip; rerun with fast=False")
+    return _horner_windows_host(tuple(wsums), c, windows)
 
 
 DEVICE_MSM_MIN = 256  # below this the host Pippenger wins (no compile)

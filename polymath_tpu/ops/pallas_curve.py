@@ -21,7 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import pallas_interpret
 from .limbs import FQ_SPEC
-from .ll import LL_FQ, ll_jac_add, ll_jac_double
+from .ll import LL_FQ, ll_jac_add, ll_jac_double, ll_jac_madd
 
 L = FQ_SPEC.L
 LANES = 256
@@ -44,6 +44,19 @@ def _double_kernel(x1, y1, z1, ox, oy, oz):
     ox[...] = LL_FQ.join(rx)
     oy[...] = LL_FQ.join(ry)
     oz[...] = LL_FQ.join(rz)
+
+
+def _madd_kernel(fast: bool):
+    def kernel(x1, y1, z1, x2, y2, *outs):
+        p = tuple(LL_FQ.split(r[...]) for r in (x1, y1, z1))
+        leaf = tuple(LL_FQ.split(r[...]) for r in (x2, y2))
+        (rx, ry, rz), err = ll_jac_madd(p, leaf, fast=fast)
+        outs[0][...] = LL_FQ.join(rx)
+        outs[1][...] = LL_FQ.join(ry)
+        outs[2][...] = LL_FQ.join(rz)
+        if fast:
+            outs[3][...] = err.astype(jnp.uint32)
+    return kernel
 
 
 def _specs(rows_total: int):
@@ -89,6 +102,28 @@ def _double_call(rows_total: int):
     ))
 
 
+@lru_cache(maxsize=None)
+def _madd_call(rows_total: int, fast: bool):
+    spec = _specs(rows_total)
+    errspec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    n_out = 4 if fast else 3
+    out_specs = (spec, spec, spec) + ((errspec,) if fast else ())
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32)
+        for _ in range(3))
+    if fast:
+        out_shape += (jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32),)
+    return jax.jit(pl.pallas_call(
+        _madd_kernel(fast),
+        grid=(pl.cdiv(rows_total, ROWS),),
+        in_specs=[spec] * 5,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=pallas_interpret(),
+    ))
+
+
 def _to_blocks(p):
     """(L, ...batch) -> (L, rows, LANES) padded; returns (arrays, shape, n)."""
     shape = p[0].shape
@@ -122,3 +157,19 @@ def jac_double_fused(p):
     rows_total = pb[0].shape[1]
     out = _double_call(rows_total)(*pb)
     return _from_blocks(out, shape, n)
+
+
+def jac_madd_fused(p, leaf, fast: bool = False):
+    """p jacobian (3 coords), leaf affine (2 coords), equal batch shapes.
+    Returns ((X, Y, Z), err) with err a bool batch array when fast else
+    None."""
+    pb, shape, n = _to_blocks(p)
+    lb, _, _ = _to_blocks(leaf)
+    rows_total = pb[0].shape[1]
+    out = _madd_call(rows_total, fast)(*pb, *lb)
+    pt = _from_blocks(out[:3], shape, n)
+    err = None
+    if fast:
+        e = out[3].reshape(-1)[:n].reshape(shape[1:])
+        err = e != 0
+    return pt, err

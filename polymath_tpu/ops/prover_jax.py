@@ -58,7 +58,11 @@ def mont_to_int(arr) -> int:
 
 
 class DeviceArtifacts:
-    """Per-proving-key device state: COO matrices + SRS point arrays."""
+    """Per-proving-key device state: COO matrices + SRS point arrays.
+
+    On TPU the SRS vectors are stored zero-padded to whole MSM chunks
+    ((0,0) = the affine identity encoding, inert under zero scalars) so
+    msm_device never has to copy a multi-GB point array to pad it."""
 
     def __init__(self, pk):
         sap = pk.sap_matrices
@@ -71,12 +75,30 @@ class DeviceArtifacts:
         self.coo_b = CooMatrix.from_sparse_rows(sap.b, m)
         self.coo_c = CooMatrix.from_sparse_rows(sap.c, m)
         # SRS device arrays (affine Montgomery limbs)
-        self.srs = dict(pk.device.get("srs", {}))
+        from ..utils.config import on_tpu
+        from .msm import DEFAULT_CHUNK
+        chunk = DEFAULT_CHUNK if on_tpu() else None
+        self.srs = {}
+        srs_in = pk.device.get("srs", {})
         for name in ("x_powers_g1", "x_powers_zh_by_y_alpha_g1",
                      "x_powers_y_gamma_z_g1", "uj_wj_lcs_by_y_alpha_g1"):
-            if name not in self.srs:
-                pts = getattr(pk, name)
-                self.srs[name] = points_to_device(pts)
+            if name in srs_in:
+                xy = srs_in[name]
+            else:
+                xy = points_to_device(getattr(pk, name))
+            if chunk:
+                n_pts = xy[0].shape[-1]
+                pad = (-n_pts) % chunk
+                if pad:
+                    xy = tuple(
+                        jnp.concatenate(
+                            [a, jnp.zeros((a.shape[0], pad), jnp.uint32)],
+                            axis=1) for a in xy)
+                    if name in srs_in:
+                        # release the unpadded originals — at bench scale
+                        # keeping both doubles the ~4 GB d vector
+                        srs_in[name] = xy
+            self.srs[name] = xy
 
 
 def get_artifacts(pk) -> DeviceArtifacts:
@@ -90,16 +112,17 @@ def get_artifacts(pk) -> DeviceArtifacts:
 
 
 @lru_cache(maxsize=None)
-def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int):
+def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int,
+                ka: int = 1, kb: int = 1, kc: int = 1):
     """Builds z, u/w eval vectors, coefficient polys, h, and MSM scalar
     vectors — everything between witness synthesis and the first
     Fiat-Shamir round that runs on device."""
 
     def stage1(x_m, z_r, coo_data):
         (a_rows, a_cols, a_co, b_rows, b_cols, b_co, c_rows, c_cols, c_co) = coo_data
-        az = coo_matvec_raw(a_rows, a_cols, a_co, z_r, n_r)
-        bz = coo_matvec_raw(b_rows, b_cols, b_co, z_r, n_r)
-        cz = coo_matvec_raw(c_rows, c_cols, c_co, z_r, n_r)
+        az = coo_matvec_raw(a_rows, a_cols, a_co, z_r, n_r, ka)
+        bz = coo_matvec_raw(b_rows, b_cols, b_co, z_r, n_r, kb)
+        cz = coo_matvec_raw(c_rows, c_cols, c_co, z_r, n_r, kc)
         amb = FR.sub(az, bz)
         apb = FR.add(az, bz)
         y_n = FR.mont_mul(amb, amb)
@@ -151,23 +174,24 @@ def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int):
             [FR.zeros((2 * m0,)), apb, amb, pad], axis=1)
         wu_coeffs = ntt_trace(wu_evals, inverse=True)
 
+        # everything stays in Montgomery form — MSM consumers convert
+        # digits in-graph (mont=True), avoiding three n-sized canonical
+        # copies living across the whole proof
         return dict(
-            z=z, u_coeffs=u_coeffs, w_coeffs=w_coeffs, h=h, h_num=h_num,
+            z=z, u_coeffs=u_coeffs, w_coeffs=w_coeffs, h_num=h_num,
             wu_coeffs=wu_coeffs,
-            z_canon=FR.from_mont(z), u_canon=FR.from_mont(u_coeffs),
-            h_canon=FR.from_mont(h),
             vanish_rem_nz=vanish_rem_nz,
         )
 
     return jax.jit(stage1)
 
 
-def coo_matvec_raw(rows, cols, coeffs_mont, z, num_rows):
+def coo_matvec_raw(rows, cols, coeffs_mont, z, num_rows, k_sub: int = 1):
     """Traceable COO matvec (see sparse.coo_matvec)."""
     from .sparse import segment_sum_mod
     gathered = z[:, cols]
     prods = FR.mont_mul(gathered, coeffs_mont)
-    return segment_sum_mod(prods, rows, num_rows)
+    return segment_sum_mod(prods, rows, num_rows, k_sub)
 
 
 @lru_cache(maxsize=None)
@@ -213,13 +237,13 @@ def _stage2_jit(n: int, sigma: int, d_len: int):
         dnum = addb(dnum, 5 * s, FR.neg(eval_sum))
 
         q, rem = synthetic_divide_device(dnum, x1_m)
-        return FR.from_mont(q), rem
+        return q, rem  # Montgomery form; the d-MSM converts in-graph
 
     return jax.jit(stage2)
 
 
 def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
-    from ..utils.timers import phase
+    from ..utils.timers import phase, sync
 
     art = get_artifacts(pk)
     n, m0, m, n_r, cols, sigma = (art.n, art.m0, art.m, art.n_r, art.cols,
@@ -233,7 +257,7 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
 
     with phase("prover::h2d assignment"):
         x_m = fr_ints_to_mont_device(instance)
-        z_r = fr_ints_to_mont_device(instance + witness)
+        z_r = sync(fr_ints_to_mont_device(instance + witness))
 
     coo_data = (
         art.coo_a.row_idx, art.coo_a.col_idx, art.coo_a.coeffs_mont,
@@ -241,7 +265,9 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
         art.coo_c.row_idx, art.coo_c.col_idx, art.coo_c.coeffs_mont,
     )
     with phase("prover::stage1 (matvecs+NTTs+h)"):
-        s1 = _stage1_jit(n, m0, m, n_r, cols)(x_m, z_r, coo_data)
+        s1 = sync(_stage1_jit(n, m0, m, n_r, cols,
+                              art.coo_a.k_sub, art.coo_b.k_sub,
+                              art.coo_c.k_sub)(x_m, z_r, coo_data))
     # device analogue of prover.rs:107-108 (a kernel or witness bug must
     # surface as a clean error here, not as an invalid proof)
     assert int(s1["vanish_rem_nz"]) == 0, \
@@ -250,9 +276,14 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     # -- blinding + commitments ------------------------------------------
     ra0_i, ra1_i = rng.randrange(R), rng.randrange(R)
 
+    # x-power SRS bases are distinct by construction -> fast madd mode;
+    # uj_wj columns CAN repeat (structurally identical circuit columns,
+    # e.g. the bench a/b witnesses), so the c_w MSM keeps the total group
+    # law (fast=False).
     xp = art.srs["x_powers_g1"]
     with phase("prover::msm a_g1 (n)"):
-        a_u = msm_device(xp[0][:, :n], xp[1][:, :n], s1["u_canon"])
+        a_u = msm_device(xp[0], xp[1], s1["u_coeffs"],
+                         mont=True, fast=True, n_eff=n)
     # host: tiny r_a MSMs over the 3/2-element SRS vectors
     a_ra = bls.G1.msm(pk.x_powers_y_alpha_g1, [ra0_i, ra1_i])
     a_g1 = bls.G1.add(a_u, a_ra)
@@ -264,7 +295,8 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
     two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
     with phase("prover::msm r_g1 (n+1)"):
-        r_big = msm_device(xp[0][:, :n + 1], xp[1][:, :n + 1], two_ra_u)
+        r_big = msm_device(xp[0], xp[1], two_ra_u,
+                           mont=True, fast=True, n_eff=n + 1)
     ra_sq = [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R, ra1_i * ra1_i % R]
     r_small = bls.G1.add(
         bls.G1.msm(pk.x_powers_y_alpha_g1, ra_sq),
@@ -273,9 +305,11 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
 
     ujwj = art.srs["uj_wj_lcs_by_y_alpha_g1"]
     with phase("prover::msm c_g1 (cols-m0, n-1)"):
-        c_w = msm_device(ujwj[0], ujwj[1], s1["z_canon"][:, m0:])
+        c_w = msm_device(ujwj[0], ujwj[1], s1["z"][:, m0:],
+                         mont=True, n_eff=cols - m0)
         zh = art.srs["x_powers_zh_by_y_alpha_g1"]
-        c_h = msm_device(zh[0], zh[1], s1["h_canon"][:, :n - 1])
+        c_h = msm_device(zh[0], zh[1], s1["h_num"][:, n:2 * n - 1],
+                         mont=True, fast=True, n_eff=n - 1)
     c_g1 = bls.G1.add(bls.G1.add(c_w, c_h), r_g1)
 
     # -- Fiat-Shamir round 1 ---------------------------------------------
@@ -296,18 +330,18 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     d_len = 2 * (n - 1) + sigma * (MINUS_ALPHA + MINUS_GAMMA) + 1
     eval_sum = mont_scalar((a_at_x1 + x2 * c_at_x1) % R)
     with phase("prover::stage2 (D numerator + quotient scan)"):
-        q_canon, rem = _stage2_jit(n, sigma, d_len)(
+        q_mont, rem = sync(_stage2_jit(n, sigma, d_len)(
             s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
             mont_scalar(ra0_i), mont_scalar(ra1_i),
-            mont_scalar(x1), mont_scalar(x2), eval_sum)
+            mont_scalar(x1), mont_scalar(x2), eval_sum))
     # prover.rs:221: the quotient division by (X - x1) must be exact
     assert mont_to_int(rem) == 0, \
         "quotient division by (X - x1) must be exact"
 
     ygz = art.srs["x_powers_y_gamma_z_g1"]
     with phase("prover::msm d_g1 (~10n)"):
-        d_g1 = msm_device(ygz[0][:, :d_len - 1], ygz[1][:, :d_len - 1],
-                          q_canon)
+        d_g1 = msm_device(ygz[0], ygz[1], q_mont,
+                          mont=True, fast=True, n_eff=d_len - 1)
 
     return Proof(a_g1=a_g1, c_g1=c_g1, a_at_x1=a_at_x1, d_g1=d_g1)
 
@@ -320,7 +354,7 @@ def _eval_jit(n: int):
 @lru_cache(maxsize=None)
 def _tru_jit(n: int):
     def tru(tr0, tr1, u_lo, u_sh):
-        # tr0/tr1 arrive in Montgomery form (mont_scalar)
-        val = FR.add(FR.mont_mul(tr0, u_lo), FR.mont_mul(tr1, u_sh))
-        return FR.from_mont(val)
+        # tr0/tr1 arrive in Montgomery form (mont_scalar); result stays
+        # Montgomery — the r MSM converts digits in-graph (mont=True)
+        return FR.add(FR.mont_mul(tr0, u_lo), FR.mont_mul(tr1, u_sh))
     return jax.jit(tru)

@@ -25,10 +25,11 @@ from ..frontend.sap import SAPMatrices
 from ..protocol.poly_host import Radix2Domain
 from ..protocol.common import MINUS_ALPHA, MINUS_GAMMA
 from ..protocol.data_structures import PairingVK, VerifyingKey, ProvingKey
+from ..utils.timers import phase, sync
 from .limbs import FR_SPEC, ints_to_limbs
 from .field_jax import FR
 from .ntt import powers_of, domain_omega
-from .sparse import segment_sum_mod
+from .sparse import segment_sum_mod, plan_segments
 from .fixed_base import fixed_base_mul, fixed_base_mul_ints
 from .curve_jax import jac_to_host
 
@@ -64,9 +65,13 @@ def _mont_const(v: int):
 
 
 def generate_proving_key_device(circuit, rng) -> ProvingKey:
-    """Full setup with device scalar vectors and device-resident SRS."""
-    cs = synthesize(circuit, ConstraintSystem.SETUP)
-    sap = SAPMatrices.from_constraint_system(cs)
+    """Full setup with device scalar vectors and device-resident SRS.
+
+    Phase scopes mirror the reference generator's ark-std timers
+    (generator.rs:28-148)."""
+    with phase("setup::constraint synthesis"):
+        cs = synthesize(circuit, ConstraintSystem.SETUP)
+        sap = SAPMatrices.from_constraint_system(cs)
     rows, num_columns = sap.size()
     domain = Radix2Domain(rows)
     n = domain.n
@@ -86,31 +91,34 @@ def generate_proving_key_device(circuit, rng) -> ProvingKey:
     d_max = 2 * (n - 1) + sigma * (MINUS_ALPHA + MINUS_GAMMA)
 
     # -- scalar vectors on device ----------------------------------------
-    xm = _mont_const(x)
-    xp_all = powers_of(xm, d_max + 1)               # (16, d_max+1) mont
+    with phase("setup::x-power scalar vectors"):
+        xm = _mont_const(x)
+        xp_all = powers_of(xm, d_max + 1)               # (16, d_max+1) mont
 
-    def scaled(vec, const_int):
-        return FR.mont_mul(vec, _mont_const(const_int))
+        def scaled(vec, const_int):
+            return FR.mont_mul(vec, _mont_const(const_int))
 
-    sc = {}
-    sc["x_powers_g1"] = xp_all[:, : n + bnd_a]
-    sc["x_powers_y_gamma_z_g1"] = scaled(xp_all, y_gamma * z % R)
-    zh_at_x = (pow(x, n, R) - 1) % R
-    sc["x_powers_zh_by_y_alpha_g1"] = scaled(
-        xp_all[:, : n - 1], zh_at_x * y_to_minus_alpha % R)
+        sc = {}
+        sc["x_powers_g1"] = xp_all[:, : n + bnd_a]
+        sc["x_powers_y_gamma_z_g1"] = scaled(xp_all, y_gamma * z % R)
+        zh_at_x = (pow(x, n, R) - 1) % R
+        sc["x_powers_zh_by_y_alpha_g1"] = sync(scaled(
+            xp_all[:, : n - 1], zh_at_x * y_to_minus_alpha % R))
 
     # -- u_j(x), w_j(x) for witness columns (device) ----------------------
     # l_i(x) = omega^i * (x^n - 1) / (n (x - omega^i))
-    omega = domain_omega(n)
-    om_pows = powers_of(_mont_const(omega), n)      # (16, n)
-    x_bc = jnp.broadcast_to(xm, (16, n))
-    denom = FR.sub(x_bc, om_pows)
-    denom_inv = FR.inv(denom)                       # batched Fermat
-    lconst = _mont_const(zh_at_x * pow(n, R - 2, R) % R)
-    l_at_x = FR.mont_mul(FR.mont_mul(om_pows, denom_inv), lconst)
+    with phase("setup::lagrange coefficients at x"):
+        omega = domain_omega(n)
+        om_pows = powers_of(_mont_const(omega), n)      # (16, n)
+        x_bc = jnp.broadcast_to(xm, (16, n))
+        denom = FR.sub(x_bc, om_pows)
+        denom_inv = FR.inv(denom)                       # batched Fermat
+        lconst = _mont_const(zh_at_x * pow(n, R - 2, R) % R)
+        l_at_x = sync(FR.mont_mul(FR.mont_mul(om_pows, denom_inv), lconst))
 
-    u_cols = sap.u_columns_transposed()
-    w_cols = sap.w_columns_transposed()
+    with phase("setup::SAP column views"):
+        u_cols = sap.u_columns_transposed()
+        w_cols = sap.w_columns_transposed()
 
     def col_sums(cols_dict):
         seg, row, coeff = [], [], []
@@ -121,31 +129,44 @@ def generate_proving_key_device(circuit, rng) -> ProvingKey:
                 coeff.append(co)
         if not seg:
             seg, row, coeff = [0], [0], [0]
-        seg = jnp.asarray(np.asarray(seg, np.int32))
+        # dense columns (a bench variable reused across ~n constraints)
+        # overflow the lazy limb sums past 2^15 entries — split them
+        sub_ids, k_sub = plan_segments(np.asarray(seg, np.int32), m - m0)
+        seg = jnp.asarray(sub_ids)
         row = jnp.asarray(np.asarray(row, np.int32))
         cmont = jnp.asarray(
             ints_to_limbs([FR_SPEC.to_mont_int(c) for c in coeff], FR_SPEC.L))
         gathered = l_at_x[:, row]
         prods = FR.mont_mul(gathered, cmont)
-        return segment_sum_mod(prods, seg, m - m0)
+        return segment_sum_mod(prods, seg, m - m0, k_sub)
 
-    uj_x = col_sums(u_cols)
-    wj_x = col_sums(w_cols)
-    sc["uj_wj_lcs_by_y_alpha_g1"] = scaled(
-        FR.add(scaled(uj_x, y_gamma), wj_x), y_to_minus_alpha)
+    with phase("setup::u_j(x), w_j(x) column sums"):
+        uj_x = col_sums(u_cols)
+        wj_x = col_sums(w_cols)
+        sc["uj_wj_lcs_by_y_alpha_g1"] = sync(scaled(
+            FR.add(scaled(uj_x, y_gamma), wj_x), y_to_minus_alpha))
+
+    # scalar-vector temporaries are sizeable at bench scale (~10n Fr
+    # elements); free each as it is consumed so SRS points + scalars never
+    # coexist fully in HBM
+    del xp_all, om_pows, denom, denom_inv, l_at_x, x_bc
 
     # -- fixed-base multiply (device), canonical scalars ------------------
     srs_device = {}
-    for name, vec in sc.items():
-        srs_device[name] = fixed_base_mul(jax.jit(FR.from_mont)(vec))
+    for name in list(sc.keys()):
+        vec = sc.pop(name)
+        with phase(f"setup::fixed-base mul {name} ({vec.shape[-1]})"):
+            srs_device[name] = sync(fixed_base_mul(jax.jit(FR.from_mont)(vec)))
+        del vec
 
     # small vectors on host (exact per generator.rs:85-91)
-    from ..protocol.generator import FixedBaseTable
-    table = FixedBaseTable(bls.G1, bls.G1.gen, c=8)
-    x_powers_y_alpha = [table.mul(pow(x, j, R) * y_alpha % R)
-                        for j in range(2 * bnd_a + 1)]
-    x_powers_y_gamma = [table.mul(pow(x, j, R) * y_gamma % R)
-                        for j in range(bnd_a + 1)]
+    with phase("setup::G2 + small host vectors"):
+        from ..protocol.generator import FixedBaseTable
+        table = FixedBaseTable(bls.G1, bls.G1.gen, c=8)
+        x_powers_y_alpha = [table.mul(pow(x, j, R) * y_alpha % R)
+                            for j in range(2 * bnd_a + 1)]
+        x_powers_y_gamma = [table.mul(pow(x, j, R) * y_gamma % R)
+                            for j in range(bnd_a + 1)]
 
     e = PairingVK(
         one_g1=bls.G1.gen, one_g2=bls.G2.gen,

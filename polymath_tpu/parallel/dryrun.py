@@ -19,9 +19,14 @@ import random
 import numpy as np
 
 
-def run_sharded_check(mesh, n: int = 64, pts_per_dev: int = 8,
+def run_sharded_check(mesh, n: int | None = None, pts_per_dev: int = 8,
                       seed: int = 11) -> None:
-    """Raises AssertionError on any mismatch vs the host oracles."""
+    """Raises AssertionError on any mismatch vs the host oracles.
+
+    Default n scales as max(64, d^2) with the mesh size d so both Bailey
+    factors of the sharded NTT stay divisible by d (n = 64 fails its
+    n1 % d == 0 assert at d = 16; at the common d = 8 this keeps the
+    round-2 cached shapes)."""
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +40,8 @@ def run_sharded_check(mesh, n: int = 64, pts_per_dev: int = 8,
     from .msm_sharded import msm_sharded_partials, _horner_windows_host
 
     n_devices = mesh.devices.size
+    if n is None:
+        n = max(64, n_devices * n_devices)
     rng = random.Random(seed)
     npts = pts_per_dev * n_devices
 
@@ -78,3 +85,29 @@ def run_sharded_check(mesh, n: int = 64, pts_per_dev: int = 8,
     got_msm = _horner_windows_host(wsums, c, windows)
     expect_msm = bls.G1.msm(pts, scalars)
     assert got_msm == expect_msm, "sharded MSM mismatch vs host oracle"
+
+
+def run_sharded_prove(mesh, rounds: int = 15, seed: int = 3) -> None:
+    """End-to-end PROOF through the mesh (create_proof_sharded): reduced
+    MiMC at n = 4*rounds + 4 = 64, verified by the host verifier.  This is
+    the path that makes multi-chip proving a first-class capability rather
+    than two leaf primitives (SURVEY.md §2.2/§7)."""
+    from ..hostmath.bls12_381 import R
+    from ..circuits.mimc import MiMCDemo, mimc_hash
+    from ..protocol import Polymath, Rng
+    from ..transcript import MerlinFieldTranscript
+    from .prover_sharded import create_proof_sharded
+
+    crng = random.Random(seed)
+    consts = [crng.randrange(R) for _ in range(rounds)]
+    xl, xr = crng.randrange(R), crng.randrange(R)
+    image = mimc_hash(xl, xr, consts)
+
+    pm = Polymath(transcript=MerlinFieldTranscript, backend="jax")
+    pk, vk = pm.setup(MiMCDemo(constants=consts), Rng(seed))
+    proof = create_proof_sharded(
+        MiMCDemo(xl, xr, consts), pk, Rng(seed + 1),
+        MerlinFieldTranscript, mesh)
+    from ..protocol import verifier as _verifier
+    assert _verifier.verify_proof(vk, proof, [image], MerlinFieldTranscript), \
+        "sharded proof failed host verification"

@@ -48,7 +48,7 @@ def msm_sharded_partials(xs, ys, scalars, mesh, axis: str = "dp"):
     c, windows = _window_params(local_n)
 
     def local(xs_l, ys_l, sc_l):
-        part = _msm_chunk(xs_l, ys_l, sc_l, c, windows)  # (L, W) coords
+        part, _ = _msm_chunk(xs_l, ys_l, sc_l, c, windows)  # (L, W) coords
         gathered = tuple(
             jax.lax.all_gather(a, axis, axis=0) for a in part)  # (d, L, W)
         return _reduce_gathered(gathered)

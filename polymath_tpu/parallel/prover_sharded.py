@@ -1,0 +1,209 @@
+"""Multi-chip prover: the full Polymath proof pipeline with mesh-sharded
+NTT and MSM primitives.
+
+This is the end-to-end counterpart of ops/prover_jax.create_proof_device:
+same protocol skeleton (reference prover.rs:66-237), but
+
+  * all six NTTs run as Bailey 4-step transforms with ``all_to_all``
+    transposes over the mesh axis (ntt_sharded);
+  * all four large MSMs run data-parallel: per-device Pippenger chunks,
+    window partials combined over the mesh (msm_sharded).
+
+Host keeps witness synthesis, the two Fiat-Shamir rounds, and the O(1)
+blinding algebra — identical bytes to the single-chip prover, so the host
+verifier accepts the sharded proof unchanged.
+
+Intended scale: many-device meshes where one chip's HBM cannot hold the
+10n-point d-basis.  The driver dryrun and pytest run it on a virtual CPU
+mesh at tiny n to validate the collective layout (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from ..hostmath import bls12_381 as bls
+from ..hostmath.bls12_381 import R
+from ..frontend.r1cs import synthesize, ConstraintSystem
+from ..protocol import common
+from ..protocol.common import MINUS_ALPHA, MINUS_GAMMA
+from ..protocol.data_structures import Proof
+from ..ops.field_jax import FR
+from ..ops.prover_jax import (
+    get_artifacts, fr_ints_to_mont_device, mont_scalar, mont_to_int,
+    coo_matvec_raw, _stage2_jit, _eval_jit, _tru_jit,
+)
+from ..ops.msm import _window_params, _horner_windows_host
+from .ntt_sharded import ntt_sharded
+from .msm_sharded import msm_sharded_partials
+
+
+def _msm_mesh(xy, scalars_mont, mesh, n_eff: int):
+    """Sharded MSM over (24, N >= n_eff) affine limbs and Montgomery
+    scalars; pads to a mesh multiple with zero scalars / identity points."""
+    d = mesh.devices.size
+    xs, ys = xy
+    sc = _from_mont_jit()(scalars_mont[:, :n_eff])
+    n = sc.shape[-1]
+    pad = (-n) % d
+    if pad:
+        sc = jnp.concatenate(
+            [sc, jnp.zeros((sc.shape[0], pad), jnp.uint32)], axis=1)
+    npts = n + pad
+    if xs.shape[-1] < npts:
+        extra = npts - xs.shape[-1]
+        z = jnp.zeros((xs.shape[0], extra), jnp.uint32)
+        xs = jnp.concatenate([xs, z], axis=1)
+        ys = jnp.concatenate([ys, z], axis=1)
+    else:
+        xs, ys = xs[:, :npts], ys[:, :npts]
+    (c, windows), wsums = msm_sharded_partials(xs, ys, sc, mesh)
+    return _horner_windows_host(wsums, c, windows)
+
+
+@lru_cache(maxsize=None)
+def _from_mont_jit():
+    return jax.jit(FR.from_mont)
+
+
+@lru_cache(maxsize=None)
+def _stage1_sharded_jit(n: int, m0: int, m: int, n_r: int, cols: int,
+                        ka: int, kb: int, kc: int, mesh):
+    """Stage-1 with the four size-n/2n NTTs sharded over the mesh.
+    Mirrors ops/prover_jax._stage1_jit (see there for the SAP algebra)."""
+
+    def stage1(x_m, z_r, coo_data):
+        (a_rows, a_cols, a_co, b_rows, b_cols, b_co,
+         c_rows, c_cols, c_co) = coo_data
+        az = coo_matvec_raw(a_rows, a_cols, a_co, z_r, n_r, ka)
+        bz = coo_matvec_raw(b_rows, b_cols, b_co, z_r, n_r, kb)
+        cz = coo_matvec_raw(c_rows, c_cols, c_co, z_r, n_r, kc)
+        amb = FR.sub(az, bz)
+        apb = FR.add(az, bz)
+        y_n = FR.mont_mul(amb, amb)
+
+        one = FR.ones_mont((1,))
+        x0 = x_m[:, :1]
+        one_minus_x = FR.sub(one, x_m[:, 1:m0])
+        y_m0 = FR.mont_mul(one_minus_x, one_minus_x)
+        y = jnp.concatenate([FR.zeros((1,)), y_m0, y_n], axis=1)
+
+        w_part = z_r[:, m0:]
+        z = jnp.concatenate([x_m, x_m, w_part, y], axis=1)
+
+        u_b1 = FR.add(x0, x_m)
+        u_b2 = jnp.concatenate(
+            [FR.zeros((1,)), FR.sub(x0, x_m[:, 1:m0])], axis=1)
+        pad = FR.zeros((n - 2 * m0 - 2 * n_r,))
+        u_evals = jnp.concatenate([u_b1, u_b2, apb, amb, pad], axis=1)
+
+        four = mont_scalar(4)
+        y_m0_full = y[:, :m0]
+        y_n_full = y[:, m0:]
+        w_b1 = FR.add(FR.mont_mul(four, x_m), y_m0_full)
+        w_b3 = FR.add(FR.mont_mul(four, cz), y_n_full)
+        w_evals = jnp.concatenate(
+            [w_b1, y_m0_full, w_b3, y_n_full, pad], axis=1)
+
+        u_coeffs = ntt_sharded(u_evals, mesh, inverse=True)
+        w_coeffs = ntt_sharded(w_evals, mesh, inverse=True)
+
+        u_pad = jnp.concatenate([u_coeffs, FR.zeros((n,))], axis=1)
+        u2_ev = ntt_sharded(u_pad, mesh)
+        u2_ev = FR.mont_mul(u2_ev, u2_ev)
+        u2 = ntt_sharded(u2_ev, mesh, inverse=True)
+
+        w_pad2 = jnp.concatenate([w_coeffs, FR.zeros((n,))], axis=1)
+        h_num = FR.sub(u2, w_pad2)
+        h = h_num[:, n:]
+        vanish_rem_nz = jnp.count_nonzero(FR.add(h_num[:, :n], h))
+
+        wu_evals = jnp.concatenate(
+            [FR.zeros((2 * m0,)), apb, amb, pad], axis=1)
+        wu_coeffs = ntt_sharded(wu_evals, mesh, inverse=True)
+
+        return dict(z=z, u_coeffs=u_coeffs, w_coeffs=w_coeffs, h_num=h_num,
+                    wu_coeffs=wu_coeffs, vanish_rem_nz=vanish_rem_nz)
+
+    return jax.jit(stage1)
+
+
+def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
+    """Prove through the mesh; byte-identical output to the single-chip
+    prover (same transcript, same group elements)."""
+    art = get_artifacts(pk)
+    n, m0, m, n_r, cols, sigma = (art.n, art.m0, art.m, art.n_r, art.cols,
+                                  art.sigma)
+
+    cs = synthesize(circuit, ConstraintSystem.PROVE)
+    instance = cs.instance_assignment
+    witness = cs.witness_assignment
+    assert len(instance) == m0
+
+    x_m = fr_ints_to_mont_device(instance)
+    z_r = fr_ints_to_mont_device(instance + witness)
+    coo_data = (
+        art.coo_a.row_idx, art.coo_a.col_idx, art.coo_a.coeffs_mont,
+        art.coo_b.row_idx, art.coo_b.col_idx, art.coo_b.coeffs_mont,
+        art.coo_c.row_idx, art.coo_c.col_idx, art.coo_c.coeffs_mont,
+    )
+    s1 = _stage1_sharded_jit(n, m0, m, n_r, cols,
+                             art.coo_a.k_sub, art.coo_b.k_sub,
+                             art.coo_c.k_sub, mesh)(x_m, z_r, coo_data)
+    assert int(s1["vanish_rem_nz"]) == 0, \
+        "vanishing division (u^2 - w) / Z_H must be exact"
+
+    ra0_i, ra1_i = rng.randrange(R), rng.randrange(R)
+
+    xp = art.srs["x_powers_g1"]
+    a_u = _msm_mesh(xp, s1["u_coeffs"], mesh, n)
+    a_ra = bls.G1.msm(pk.x_powers_y_alpha_g1, [ra0_i, ra1_i])
+    a_g1 = bls.G1.add(a_u, a_ra)
+
+    tr0 = mont_scalar(2 * ra0_i % R)
+    tr1 = mont_scalar(2 * ra1_i % R)
+    u_lo = jnp.concatenate([s1["u_coeffs"], FR.zeros((1,))], axis=1)
+    u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
+    two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
+    r_big = _msm_mesh(xp, two_ra_u, mesh, n + 1)
+    ra_sq = [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R, ra1_i * ra1_i % R]
+    r_small = bls.G1.add(
+        bls.G1.msm(pk.x_powers_y_alpha_g1, ra_sq),
+        bls.G1.msm(pk.x_powers_y_gamma_g1, [ra0_i, ra1_i]))
+    r_g1 = bls.G1.add(r_big, r_small)
+
+    ujwj = art.srs["uj_wj_lcs_by_y_alpha_g1"]
+    c_w = _msm_mesh(ujwj, s1["z"][:, m0:], mesh, cols - m0)
+    zh = art.srs["x_powers_zh_by_y_alpha_g1"]
+    c_h = _msm_mesh(zh, s1["h_num"][:, n:2 * n - 1], mesh, n - 1)
+    c_g1 = bls.G1.add(bls.G1.add(c_w, c_h), r_g1)
+
+    t = transcript_cls(common.B_POLYMATH)
+    x1 = common.compute_x1(t, instance, [a_g1, c_g1])
+    y1 = common.compute_y1(x1, sigma)
+    y1_alpha = common.neg_power(y1, MINUS_ALPHA)
+    y1_gamma = common.neg_power(y1, MINUS_GAMMA)
+
+    u_at_x1 = mont_to_int(_eval_jit(n)(s1["u_coeffs"], mont_scalar(x1)))
+    a_at_x1 = (u_at_x1 + (ra0_i + ra1_i * x1) * y1_alpha) % R
+    pi_at_x1 = common.compute_pi_at_x1(pk.vk, instance, x1, y1_gamma)
+    c_at_x1 = common.compute_c_at_x1(y1_gamma, y1_alpha, a_at_x1, pi_at_x1)
+
+    x2 = common.compute_x2(t, x1, [a_at_x1, c_at_x1])
+
+    d_len = 2 * (n - 1) + sigma * (MINUS_ALPHA + MINUS_GAMMA) + 1
+    eval_sum = mont_scalar((a_at_x1 + x2 * c_at_x1) % R)
+    q_mont, rem = _stage2_jit(n, sigma, d_len)(
+        s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
+        mont_scalar(ra0_i), mont_scalar(ra1_i),
+        mont_scalar(x1), mont_scalar(x2), eval_sum)
+    assert mont_to_int(rem) == 0, \
+        "quotient division by (X - x1) must be exact"
+
+    ygz = art.srs["x_powers_y_gamma_z_g1"]
+    d_g1 = _msm_mesh(ygz, q_mont, mesh, d_len - 1)
+
+    return Proof(a_g1=a_g1, c_g1=c_g1, a_at_x1=a_at_x1, d_g1=d_g1)

@@ -12,6 +12,7 @@ path for NTT/MSM bulk work), "auto" (jax when available, else host).
 from __future__ import annotations
 
 import random
+import secrets
 
 from ..transcript.transcripts import MerlinFieldTranscript
 from . import generator as _generator
@@ -24,11 +25,17 @@ class PolymathError(Exception):
 
 
 class Rng:
-    """Seedable RNG façade (replaces ark_std StdRng; not byte-compatible —
-    trapdoors/blinding are random either way)."""
+    """RNG façade (replaces the caller-supplied ``impl Rng`` of reference
+    prover.rs:110 / generator.rs:72-77).
+
+    Default (seed=None) is a CSPRNG (`secrets.SystemRandom`): the trapdoors
+    x, z and the blinding poly r_a protect zero-knowledge, so predictable
+    randomness is a soundness/privacy bug.  Pass a seed ONLY for
+    reproducible tests/fixtures — that mode uses a Mersenne Twister and is
+    not cryptographically secure."""
 
     def __init__(self, seed=None):
-        self._r = random.Random(seed)
+        self._r = secrets.SystemRandom() if seed is None else random.Random(seed)
 
     def randrange(self, *args):
         return self._r.randrange(*args)

@@ -115,23 +115,29 @@ def generate_proving_key(circuit, rng, scalar_mul_backend=None) -> ProvingKey:
     dict of affine point lists`` to offload the fixed-base bulk work (the
     TPU path); defaults to the host fixed-base table.
     """
-    cs = synthesize(circuit, ConstraintSystem.SETUP)
-    sap = SAPMatrices.from_constraint_system(cs)
+    from ..utils.timers import phase
+
+    with phase("setup::constraint synthesis"):
+        cs = synthesize(circuit, ConstraintSystem.SETUP)
+        sap = SAPMatrices.from_constraint_system(cs)
     rows, _ = sap.size()
     domain = Radix2Domain(rows)
 
     x = domain.sample_element_outside_domain(rng)
     z = domain.sample_element_outside_domain(rng)
 
-    scalars, meta = compute_srs_scalars(sap, domain, x, z)
+    with phase("setup::SRS scalar vectors"):
+        scalars, meta = compute_srs_scalars(sap, domain, x, z)
 
-    if scalar_mul_backend is None:
-        table = FixedBaseTable(bls.G1, bls.G1.gen, c=8)
-        vectors = {
-            name: [table.mul(s) for s in vec] for name, vec in scalars.items()
-        }
-    else:
-        vectors = scalar_mul_backend(scalars)
+    with phase("setup::fixed-base scalar muls"):
+        if scalar_mul_backend is None:
+            table = FixedBaseTable(bls.G1, bls.G1.gen, c=8)
+            vectors = {
+                name: [table.mul(s) for s in vec]
+                for name, vec in scalars.items()
+            }
+        else:
+            vectors = scalar_mul_backend(scalars)
 
     g2 = bls.G2
     e = PairingVK(

@@ -20,11 +20,14 @@ Nested phases indent like the reference's timer output.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import os
 import sys
 import time
 
-_DEPTH = 0
+# contextvar (not a module global) so interleaved phases from threads or
+# async host callbacks keep correct per-context indentation.
+_DEPTH = contextvars.ContextVar("polymath_phase_depth", default=0)
 
 
 def trace_enabled() -> bool:
@@ -32,9 +35,22 @@ def trace_enabled() -> bool:
                                                         "false")
 
 
+def sync(x):
+    """Block on async JAX dispatch when tracing, so phase() scopes measure
+    device execution like the reference's synchronous ark-std timers
+    (otherwise stage time is attributed to the next blocking op).  Returns
+    its argument; a no-op when tracing is off."""
+    if trace_enabled():
+        try:
+            import jax
+            jax.block_until_ready(x)
+        except Exception:
+            pass
+    return x
+
+
 @contextlib.contextmanager
 def phase(label: str):
-    global _DEPTH
     if not trace_enabled():
         yield
         return
@@ -43,15 +59,16 @@ def phase(label: str):
         ann = jax.profiler.TraceAnnotation(label)
     except Exception:
         ann = contextlib.nullcontext()
-    indent = "  " * _DEPTH
+    depth = _DEPTH.get()
+    indent = "  " * depth
     print(f"{indent}Start: {label}", file=sys.stderr)
-    _DEPTH += 1
+    tok = _DEPTH.set(depth + 1)
     t0 = time.time()
     try:
         with ann:
             yield
     finally:
-        _DEPTH -= 1
+        _DEPTH.reset(tok)
         dt = time.time() - t0
         human = f"{dt*1e3:.3f}ms" if dt < 1 else f"{dt:.3f}s"
         print(f"{indent}End:   {label} {human}", file=sys.stderr)
