@@ -40,14 +40,21 @@ def main():
     rng = random.Random(7)
     out = {"device": str(jax.devices()[0]), "log_n": log_n, "kernels": {}}
 
+    def sync(r):
+        # block_until_ready through the remote-TPU tunnel does not reliably
+        # wait for device execution; a tiny dependent D2H pull does.
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+        return r
+
     def timed(name, fn, *args):
         t0 = time.time()
-        r = jax.block_until_ready(fn(*args))
+        r = sync(fn(*args))
         first_s = time.time() - t0
         times = []
         for _ in range(reps):
             t0 = time.time()
-            r = jax.block_until_ready(fn(*args))
+            r = sync(fn(*args))
             times.append(time.time() - t0)
         steady = max(min(times), 1e-9)  # clock floor: avoid 0-div at tiny sizes
         out["kernels"][name] = {

@@ -124,6 +124,8 @@ def fixed_base_mul(scalars, chunk: int = FB_CHUNK):
         if n_pad != n:
             one = jnp.zeros((16, n_pad - n), jnp.uint32).at[0].set(1)
             scalars = jnp.concatenate([scalars, one], axis=1)
+    from ..utils.config import device_sync
+
     outs_x, outs_y = [], []
     total = scalars.shape[-1]
     for start in range(0, total, chunk):
@@ -138,6 +140,9 @@ def fixed_base_mul(scalars, chunk: int = FB_CHUNK):
         digits = _digits_256(cs, FB_C, FB_WINDOWS)
         acc = _apply_jit(cs.shape[-1])(table, digits)
         ax, ay = _to_affine_jit(cs.shape[-1])(acc)
+        # throttle async dispatch: each pending chunk holds ~226 MB of
+        # pre-allocated jacobian outputs (see utils.config.device_sync)
+        device_sync(ay)
         outs_x.append(ax[:, :size])
         outs_y.append(ay[:, :size])
     if len(outs_x) == 1:

@@ -47,10 +47,15 @@ from .field_jax import FR, FQ
 from .curve_jax import (
     jac_identity, jac_add, jac_madd, select_point,
     points_to_device, jac_to_host, fold_sum_jac, prefix_scan_jac,
+    tree_sum_jac,
 )
 
 SCALAR_BITS = 255
-SCAN_SEQ = 64
+
+
+def _scan_seq() -> int:
+    import os
+    return int(os.environ.get("POLYMATH_MSM_SEQ", 64))
 
 
 def _window_params(n: int):
@@ -108,19 +113,24 @@ def _scan_local_madd(px, py, seq: int, fast: bool):
     return local, totals, err
 
 
-def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False):
+def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
+               seq: int | None = None):
     """One chunk: (L, n) affine limbs + (16, n) canonical scalars ->
     (jacobian window sums with trailing axis `windows`, err bool|None)."""
     n = xs.shape[-1]
-    seq = min(SCAN_SEQ, n)
+    seq = min(seq or _scan_seq(), n)
+    Lq = xs.shape[0]
     digits = _digits(scalars, c, windows)            # (W, n)
     order = jnp.argsort(-digits, axis=-1)            # descending per window
     d_sorted = jnp.take_along_axis(digits, order, axis=-1)
     live = d_sorted > 0
-    # one fused gather of both coords, then mask dead leaves to (0, 0)
-    xy = jnp.concatenate([xs, ys], axis=0)           # (2L, n)
-    g = xy[:, order]                                 # (2L, W, n)
-    g = jnp.where(live[None], g, 0)
+    # permute points into bucket order: one row-gather in (n, 2L) layout
+    # (contiguous 192-byte rows; measured ~2x the throughput of gathering
+    # along the limb-major layout), then transpose back for the kernels
+    xy_rows = jnp.concatenate([xs, ys], axis=0).T    # (n, 2L)
+    g = xy_rows[order.reshape(-1)]                   # (W*n, 2L)
+    g = jnp.moveaxis(g.reshape(windows, n, 2 * Lq), -1, 0)  # (2L, W, n)
+    g = jnp.where(live[None], g, 0)                  # dead leaves -> (0,0)
     pad = (-n) % seq
     if pad:
         # pad with dead identity leaves (digit 0 at the tail keeps the
@@ -130,7 +140,6 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False):
         d_sorted = jnp.concatenate(
             [d_sorted, jnp.zeros((windows, pad), jnp.int32)], axis=-1)
         n += pad
-    Lq = xs.shape[0]
     px, py = g[:Lq], g[Lq:]
 
     local, totals, err = _scan_local_madd(px, py, seq, fast)
@@ -143,11 +152,14 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False):
     else:
         offs = None
 
-    # per-window counts of digits >= t for t = 1..2^c-1
-    flat = (d_sorted + (jnp.arange(windows, dtype=jnp.int32)[:, None] << c))
-    hist = jnp.bincount(flat.reshape(-1), length=windows << c)
-    hist = hist.reshape(windows, 1 << c)
-    cnt = (n - jnp.cumsum(hist, axis=-1))[:, :-1]    # (W, 2^c - 1)
+    # per-window counts of digits >= t for t = 1..2^c-1, via binary search
+    # in the (flipped, ascending) sorted digit array — TPU bincount lowers
+    # to scatter-add, which is far slower than log2(n) search steps
+    asc = jnp.flip(d_sorted, axis=-1)
+    t_vals = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
+    first_ge = jax.vmap(
+        lambda a: jnp.searchsorted(a, t_vals, side="left"))(asc)
+    cnt = (n - first_ge).astype(jnp.int32)           # (W, 2^c - 1)
     pos = jnp.clip(cnt - 1, 0, n - 1)
     loc_g = tuple(
         jnp.take_along_axis(a, pos[None], axis=-1) for a in local)
@@ -159,14 +171,14 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False):
         ps_g = loc_g
     ps_g = select_point(cnt > 0, ps_g,
                         jac_identity((windows, (1 << c) - 1)))
-    wsum = fold_sum_jac(ps_g)                        # (L, W, 1)
+    wsum = tree_sum_jac(ps_g)                        # (L, W, 1)
     if fast:
         err = jnp.any(err)
     return tuple(a[..., 0] for a in wsum), err
 
 
 def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
-             fast: bool, mont: bool):
+             fast: bool, mont: bool, seq: int):
     """Whole MSM inside one trace: fori_loop over fixed-size chunks."""
     if mont:
         sc = FR.from_mont(sc)
@@ -175,7 +187,7 @@ def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
         xs_k = jax.lax.dynamic_slice_in_dim(xs, k * chunk, chunk, 1)
         ys_k = jax.lax.dynamic_slice_in_dim(ys, k * chunk, chunk, 1)
         sc_k = jax.lax.dynamic_slice_in_dim(sc, k * chunk, chunk, 1)
-        return _msm_chunk(xs_k, ys_k, sc_k, c, windows, fast)
+        return _msm_chunk(xs_k, ys_k, sc_k, c, windows, fast, seq)
 
     if n_chunks == 1:
         wsum, err = one(0)
@@ -199,14 +211,14 @@ def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
 
 @lru_cache(maxsize=None)
 def _msm_run_jit(chunk: int, n_chunks: int, c: int, windows: int,
-                 fast: bool, mont: bool):
+                 fast: bool, mont: bool, seq: int):
     # inputs arrive pre-padded to n_chunks*chunk (msm_device), so the
     # program key is exactly (chunk, n_chunks, ...) — the prover's MSM
     # sizes {n, n+1, cols-m0, n-1, 10n+22} collapse to ~3 compiled
     # programs instead of one per exact length
     def run(xs, ys, sc):
         wsum, err = _msm_run(xs, ys, sc, chunk, n_chunks, c, windows,
-                             fast, mont)
+                             fast, mont, seq)
         return jnp.stack(wsum), err
     return jax.jit(run)
 
@@ -282,8 +294,8 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
         else:
             xs, ys = xs[:, :lim], ys[:, :lim]
     c, windows = _window_params(chunk)
-    wsums, err = _msm_run_jit(chunk, n_chunks, c, windows,
-                              fast, mont)(xs, ys, scalars)
+    wsums, err = _msm_run_jit(chunk, n_chunks, c, windows, fast, mont,
+                              min(_scan_seq(), chunk))(xs, ys, scalars)
     if fast:
         assert not bool(err), (
             "MSM madd collision: repeated base point hit the fast-mode "

@@ -239,8 +239,13 @@ def ntt_trace(a, inverse: bool = False):
 def powers_of(x_mont, n: int):
     """(L, n) Montgomery powers [1, x, x^2, ...] by doubling.
 
-    x_mont: (L,) or (L, 1) Montgomery-form scalar.
+    x_mont: (L,) or (L, 1) Montgomery-form scalar.  The doubling muls go
+    through the fused Pallas kernel (pallas_field.fr_mul) — the XLA
+    scan-CIOS form holds ~6x the operand size in loop temporaries, which
+    matters for the ~10n-element SRS power table.
     """
+    from .pallas_field import fr_mul
+
     x_mont = x_mont.reshape(FR_SPEC.L, 1)
     tbl = FR.ones_mont((1,))
     k = 1
@@ -248,7 +253,7 @@ def powers_of(x_mont, n: int):
     while k < n:
         take = min(k, n - k)
         tbl = jnp.concatenate(
-            [tbl, FR.mont_mul(tbl[:, :take], cur)], axis=1)
+            [tbl, fr_mul(tbl[:, :take], cur)], axis=1)
         cur = FR.mont_mul(cur, cur)
         k *= 2
     return tbl

@@ -25,6 +25,7 @@ from ..protocol.poly_host import Radix2Domain
 from .limbs import FR_SPEC, ints_to_limbs, limbs_to_ints
 from .field_jax import FR
 from .ntt import ntt, ntt_trace, poly_eval_device
+from .pallas_field import fr_mul, fr_sqr
 from .poly_jax import synthetic_divide_device
 from .sparse import CooMatrix, coo_matvec
 from .msm import msm_device
@@ -34,16 +35,18 @@ from .curve_jax import points_to_device, jac_to_host
 def fr_ints_to_mont_device(values):
     """list of canonical ints -> (16, N) Montgomery limbs (device to_mont)."""
     raw = jnp.asarray(ints_to_limbs([v % R for v in values], FR_SPEC.L))
-    return _to_mont_jit(raw.shape[-1])(raw)
+    return _to_mont_jit()(raw)
 
 
-@lru_cache(maxsize=None)
-def _to_mont_jit(n: int):
+# jax.jit caches per input shape internally; one jitted callable serves
+# every size (r2 verdict weak #10: the old per-n lru key was dead weight)
+@lru_cache(maxsize=1)
+def _to_mont_jit():
     return jax.jit(FR.to_mont)
 
 
-@lru_cache(maxsize=None)
-def _from_mont_jit(n: int):
+@lru_cache(maxsize=1)
+def _from_mont_jit():
     return jax.jit(FR.from_mont)
 
 
@@ -94,6 +97,8 @@ class DeviceArtifacts:
                         jnp.concatenate(
                             [a, jnp.zeros((a.shape[0], pad), jnp.uint32)],
                             axis=1) for a in xy)
+                    from ..utils.config import device_sync
+                    device_sync(xy)  # serialize: old+new copies coexist
                     if name in srs_in:
                         # release the unpadded originals — at bench scale
                         # keeping both doubles the ~4 GB d vector
@@ -113,19 +118,20 @@ def get_artifacts(pk) -> DeviceArtifacts:
 
 @lru_cache(maxsize=None)
 def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int,
-                ka: int = 1, kb: int = 1, kc: int = 1):
+                na: int, nb: int, nc: int):
     """Builds z, u/w eval vectors, coefficient polys, h, and MSM scalar
     vectors — everything between witness synthesis and the first
-    Fiat-Shamir round that runs on device."""
+    Fiat-Shamir round that runs on device.  na/nb/nc: sub-segment counts
+    of the three COO matrices (static; see sparse.plan_segments)."""
 
     def stage1(x_m, z_r, coo_data):
-        (a_rows, a_cols, a_co, b_rows, b_cols, b_co, c_rows, c_cols, c_co) = coo_data
-        az = coo_matvec_raw(a_rows, a_cols, a_co, z_r, n_r, ka)
-        bz = coo_matvec_raw(b_rows, b_cols, b_co, z_r, n_r, kb)
-        cz = coo_matvec_raw(c_rows, c_cols, c_co, z_r, n_r, kc)
+        (coo_a, coo_b, coo_c) = coo_data
+        az = coo_matvec_raw(*coo_a, z_r, n_r, na)
+        bz = coo_matvec_raw(*coo_b, z_r, n_r, nb)
+        cz = coo_matvec_raw(*coo_c, z_r, n_r, nc)
         amb = FR.sub(az, bz)
         apb = FR.add(az, bz)
-        y_n = FR.mont_mul(amb, amb)
+        y_n = fr_sqr(amb)
 
         one = FR.ones_mont((1,))
         x0 = x_m[:, :1]
@@ -148,7 +154,7 @@ def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int,
         y_m0_full = y[:, :m0]
         y_n_full = y[:, m0:]
         w_b1 = FR.add(FR.mont_mul(four, x_m), y_m0_full)
-        w_b3 = FR.add(FR.mont_mul(four, cz), y_n_full)
+        w_b3 = FR.add(fr_mul(four, cz), y_n_full)
         w_evals = jnp.concatenate(
             [w_b1, y_m0_full, w_b3, y_n_full, pad], axis=1)
 
@@ -158,7 +164,7 @@ def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int,
         # u^2 via 2n FFT
         u_pad = jnp.concatenate([u_coeffs, FR.zeros((n,))], axis=1)
         u2_ev = ntt_trace(u_pad, inverse=False)
-        u2_ev = FR.mont_mul(u2_ev, u2_ev)
+        u2_ev = fr_sqr(u2_ev)
         u2 = ntt_trace(u2_ev, inverse=True)
 
         w_pad = jnp.concatenate([w_coeffs, FR.zeros((n,))], axis=1)
@@ -186,17 +192,21 @@ def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int,
     return jax.jit(stage1)
 
 
-def coo_matvec_raw(rows, cols, coeffs_mont, z, num_rows, k_sub: int = 1):
+def coo_matvec_raw(rows, cols, coeffs_mont, lvl2, z, num_rows,
+                   n_sub: int):
     """Traceable COO matvec (see sparse.coo_matvec)."""
     from .sparse import segment_sum_mod
+    from .pallas_field import fr_mul
     gathered = z[:, cols]
-    prods = FR.mont_mul(gathered, coeffs_mont)
-    return segment_sum_mod(prods, rows, num_rows, k_sub)
+    prods = fr_mul(gathered, coeffs_mont)
+    return segment_sum_mod(prods, rows, num_rows, lvl2, n_sub)
 
 
 @lru_cache(maxsize=None)
 def _stage2_jit(n: int, sigma: int, d_len: int):
-    """Assemble the D(X)*Y^-gamma numerator and divide by (X - x1)."""
+    """Assemble the D(X)*Y^-gamma numerator (division is a separate jit —
+    splitting halves the stage's HBM peak at bench scale, where dnum and
+    the divide's scan transients are ~1.3 GB each on top of the SRS)."""
 
     def stage2(u_coeffs, wu_coeffs, w_coeffs, h_num, ra0, ra1, x1_m, x2_m,
                eval_sum):
@@ -235,11 +245,17 @@ def _stage2_jit(n: int, sigma: int, d_len: int):
         dnum = addb(dnum, 0, FR.mont_mul(x2_m, ra))
         # - (a_at_x1 + x2 c_at_x1) at 5s
         dnum = addb(dnum, 5 * s, FR.neg(eval_sum))
-
-        q, rem = synthetic_divide_device(dnum, x1_m)
-        return q, rem  # Montgomery form; the d-MSM converts in-graph
+        return dnum
 
     return jax.jit(stage2)
+
+
+@lru_cache(maxsize=None)
+def _divide_jit(d_len: int):
+    def divide(dnum, x1_m):
+        q, rem = synthetic_divide_device(dnum, x1_m)
+        return q, rem  # Montgomery form; the d-MSM converts in-graph
+    return jax.jit(divide)
 
 
 def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
@@ -259,15 +275,13 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
         x_m = fr_ints_to_mont_device(instance)
         z_r = sync(fr_ints_to_mont_device(instance + witness))
 
-    coo_data = (
-        art.coo_a.row_idx, art.coo_a.col_idx, art.coo_a.coeffs_mont,
-        art.coo_b.row_idx, art.coo_b.col_idx, art.coo_b.coeffs_mont,
-        art.coo_c.row_idx, art.coo_c.col_idx, art.coo_c.coeffs_mont,
-    )
+    coo_data = tuple(
+        (cm.row_idx, cm.col_idx, cm.coeffs_mont, cm.lvl2_idx)
+        for cm in (art.coo_a, art.coo_b, art.coo_c))
     with phase("prover::stage1 (matvecs+NTTs+h)"):
         s1 = sync(_stage1_jit(n, m0, m, n_r, cols,
-                              art.coo_a.k_sub, art.coo_b.k_sub,
-                              art.coo_c.k_sub)(x_m, z_r, coo_data))
+                              art.coo_a.n_sub, art.coo_b.n_sub,
+                              art.coo_c.n_sub)(x_m, z_r, coo_data))
     # device analogue of prover.rs:107-108 (a kernel or witness bug must
     # surface as a clean error here, not as an invalid proof)
     assert int(s1["vanish_rem_nz"]) == 0, \
@@ -294,9 +308,11 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     u_lo = jnp.concatenate([s1["u_coeffs"], FR.zeros((1,))], axis=1)
     u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
     two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
+    del u_lo, u_sh
     with phase("prover::msm r_g1 (n+1)"):
         r_big = msm_device(xp[0], xp[1], two_ra_u,
                            mont=True, fast=True, n_eff=n + 1)
+    del two_ra_u
     ra_sq = [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R, ra1_i * ra1_i % R]
     r_small = bls.G1.add(
         bls.G1.msm(pk.x_powers_y_alpha_g1, ra_sq),
@@ -329,11 +345,19 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
 
     d_len = 2 * (n - 1) + sigma * (MINUS_ALPHA + MINUS_GAMMA) + 1
     eval_sum = mont_scalar((a_at_x1 + x2 * c_at_x1) % R)
-    with phase("prover::stage2 (D numerator + quotient scan)"):
-        q_mont, rem = sync(_stage2_jit(n, sigma, d_len)(
+    x1_m = mont_scalar(x1)
+    from ..utils.config import device_sync
+    with phase("prover::stage2a (D numerator)"):
+        dnum = device_sync(_stage2_jit(n, sigma, d_len)(
             s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
             mont_scalar(ra0_i), mont_scalar(ra1_i),
-            mont_scalar(x1), mont_scalar(x2), eval_sum))
+            x1_m, mont_scalar(x2), eval_sum))
+    # stage-1 polynomials are fully consumed now — free ~0.8 GB before the
+    # divide scan and the 10n-point d-MSM
+    s1.clear()
+    with phase("prover::stage2b (quotient scan)"):
+        q_mont, rem = sync(_divide_jit(d_len)(dnum, x1_m))
+    del dnum
     # prover.rs:221: the quotient division by (X - x1) must be exact
     assert mont_to_int(rem) == 0, \
         "quotient division by (X - x1) must be exact"

@@ -25,24 +25,34 @@ MAX_SEG = 1 << 15
 def plan_segments(seg_ids: np.ndarray, num_segments: int):
     """Host-side soundness planning for segment_sum_mod.
 
-    Returns (sub_ids, k): when every segment has < MAX_SEG entries, k = 1
-    and sub_ids is seg_ids unchanged.  Otherwise entries are round-robined
-    over k sub-segments per segment (sub id = seg*k + rank % k) so each
-    sub-segment stays under the lazy-sum bound; segment_sum_mod folds the
-    k sub-sums exactly mod p.
+    Returns (sub_ids, lvl2_ids, n_sub):
+      * every segment < MAX_SEG entries: sub_ids is seg_ids unchanged,
+        lvl2_ids is None, n_sub == num_segments;
+      * otherwise entries of segment s map to compact sub-segments
+        (one per MAX_SEG-1 entries, so n_sub ~ nnz/MAX_SEG + num_segments
+        — NOT num_segments * k, which explodes for a few dense columns),
+        and lvl2_ids (length n_sub) maps each sub-segment back to its
+        segment for an exact second-level sum in segment_sum_mod.
     """
     seg_ids = np.asarray(seg_ids, np.int32)
     counts = np.bincount(seg_ids, minlength=num_segments)
     max_c = int(counts.max()) if counts.size else 0
     if max_c < MAX_SEG:
-        return seg_ids, 1
-    k = -(-max_c // (MAX_SEG - 1))
+        return seg_ids, None, num_segments
+    cap = MAX_SEG - 1
+    n_parts = -(-counts // cap)            # ceil(count/cap), 0 for empty
+    n_parts = np.maximum(n_parts, 1)       # empty segments keep one slot
+    sub_start = np.zeros(num_segments + 1, np.int64)
+    np.cumsum(n_parts, out=sub_start[1:])
+    n_sub = int(sub_start[-1])
     order = np.argsort(seg_ids, kind="stable")
     starts = np.zeros(num_segments + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
     ranks = np.empty(len(seg_ids), np.int64)
     ranks[order] = np.arange(len(seg_ids)) - starts[seg_ids[order]]
-    return (seg_ids.astype(np.int64) * k + ranks % k).astype(np.int32), k
+    sub_ids = (sub_start[seg_ids] + ranks // cap).astype(np.int32)
+    lvl2_ids = np.repeat(np.arange(num_segments, dtype=np.int32), n_parts)
+    return sub_ids, lvl2_ids, n_sub
 
 
 class CooMatrix:
@@ -50,8 +60,9 @@ class CooMatrix:
 
     def __init__(self, rows, cols, coeffs, num_rows: int, num_cols: int):
         rows_np = np.asarray(rows, np.int32)
-        sub_ids, self.k_sub = plan_segments(rows_np, num_rows)
-        self.row_idx = jnp.asarray(sub_ids)  # sub-segment ids (== rows if k_sub=1)
+        sub_ids, lvl2_ids, self.n_sub = plan_segments(rows_np, num_rows)
+        self.row_idx = jnp.asarray(sub_ids)  # sub-segment ids
+        self.lvl2_idx = None if lvl2_ids is None else jnp.asarray(lvl2_ids)
         self.col_idx = jnp.asarray(np.asarray(cols, np.int32))
         self.coeffs_mont = jnp.asarray(
             ints_to_limbs([FR_SPEC.to_mont_int(c % R) for c in coeffs], FR_SPEC.L))
@@ -73,34 +84,40 @@ class CooMatrix:
         return cls(rows, cols, coeffs, len(sparse_rows), num_cols)
 
 
-def segment_sum_mod(vals, seg_ids, num_segments: int, k_sub: int = 1):
+def segment_sum_mod(vals, seg_ids, num_segments: int, lvl2_ids=None,
+                    n_sub: int | None = None):
     """vals: (L, nnz) Montgomery limbs; lazily sum into segments and
     REDC-normalize.
 
     The lazy uint32 limb accumulation is exact only for segments of
-    < MAX_SEG entries.  Callers with denser segments pass sub-segment ids
-    from plan_segments() plus k_sub > 1; the k_sub partial sums per segment
-    are REDC'd then folded with exact modular adds.
+    < MAX_SEG entries.  Callers with denser segments pass the two-level
+    plan from plan_segments(): level 1 sums into n_sub compact
+    sub-segments (lazy, then carried to canonical 16-bit limbs), level 2
+    sums the <= MAX_SEG canonical sub-sums per segment (limb sums
+    < 2^16 * nnz/MAX_SEG < 2^31), and one REDC finishes.
     """
+    if n_sub is None:
+        n_sub = num_segments
     lazy = jax.ops.segment_sum(
-        vals.T.astype(jnp.uint32), seg_ids, num_segments=num_segments * k_sub
-    ).T  # (L, num_segments*k_sub), limbs < 2^31
+        vals.T.astype(jnp.uint32), seg_ids, num_segments=n_sub
+    ).T  # (L, n_sub), limbs < 2^31
     lazy = jnp.concatenate(
         [lazy, jnp.zeros((2,) + lazy.shape[1:], jnp.uint32)], axis=0)
-    lazy = FR.carry(lazy)
+    lazy = FR.carry(lazy)  # canonical 16-bit limbs, L+2 wide
+    if lvl2_ids is not None:
+        lazy = jax.ops.segment_sum(
+            lazy.T, lvl2_ids, num_segments=num_segments).T
+        lazy = jnp.concatenate(
+            [lazy, jnp.zeros((1,) + lazy.shape[1:], jnp.uint32)], axis=0)
+        lazy = FR.carry(lazy)
     red = FR.redc_wide(lazy)
-    out = FR.mont_mul(red, jnp.asarray(FR_SPEC.r2, jnp.uint32)[:, None])
-    if k_sub > 1:
-        out = out.reshape(out.shape[0], num_segments, k_sub)
-        acc = out[..., 0]
-        for i in range(1, k_sub):
-            acc = FR.add(acc, out[..., i])
-        out = acc
-    return out
+    return FR.mont_mul(red, jnp.asarray(FR_SPEC.r2, jnp.uint32)[:, None])
 
 
 def coo_matvec(mat: CooMatrix, z_mont):
     """(L, num_rows) = M @ z for z_mont (L, num_cols) Montgomery limbs."""
+    from .pallas_field import fr_mul
     gathered = z_mont[:, mat.col_idx]          # (L, nnz)
-    prods = FR.mont_mul(gathered, mat.coeffs_mont)
-    return segment_sum_mod(prods, mat.row_idx, mat.num_rows, mat.k_sub)
+    prods = fr_mul(gathered, mat.coeffs_mont)
+    return segment_sum_mod(prods, mat.row_idx, mat.num_rows,
+                           mat.lvl2_idx, mat.n_sub)

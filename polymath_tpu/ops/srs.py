@@ -25,7 +25,8 @@ from ..frontend.sap import SAPMatrices
 from ..protocol.poly_host import Radix2Domain
 from ..protocol.common import MINUS_ALPHA, MINUS_GAMMA
 from ..protocol.data_structures import PairingVK, VerifyingKey, ProvingKey
-from ..utils.timers import phase, sync
+from ..utils.timers import phase
+from ..utils.config import device_sync as sync
 from .limbs import FR_SPEC, ints_to_limbs
 from .field_jax import FR
 from .ntt import powers_of, domain_omega
@@ -96,7 +97,11 @@ def generate_proving_key_device(circuit, rng) -> ProvingKey:
         xp_all = powers_of(xm, d_max + 1)               # (16, d_max+1) mont
 
         def scaled(vec, const_int):
-            return FR.mont_mul(vec, _mont_const(const_int))
+            # fused Pallas elementwise mul: the XLA scan-CIOS holds ~6x
+            # the operand size in loop temporaries, which OOMs at the
+            # (16, ~21M) d-vector scale; the Pallas kernel is in/out only
+            from .pallas_field import fr_mul
+            return fr_mul(vec, _mont_const(const_int))
 
         sc = {}
         sc["x_powers_g1"] = xp_all[:, : n + bnd_a]
@@ -131,14 +136,16 @@ def generate_proving_key_device(circuit, rng) -> ProvingKey:
             seg, row, coeff = [0], [0], [0]
         # dense columns (a bench variable reused across ~n constraints)
         # overflow the lazy limb sums past 2^15 entries — split them
-        sub_ids, k_sub = plan_segments(np.asarray(seg, np.int32), m - m0)
+        sub_ids, lvl2_ids, n_sub = plan_segments(
+            np.asarray(seg, np.int32), m - m0)
         seg = jnp.asarray(sub_ids)
+        lvl2 = None if lvl2_ids is None else jnp.asarray(lvl2_ids)
         row = jnp.asarray(np.asarray(row, np.int32))
         cmont = jnp.asarray(
             ints_to_limbs([FR_SPEC.to_mont_int(c) for c in coeff], FR_SPEC.L))
         gathered = l_at_x[:, row]
         prods = FR.mont_mul(gathered, cmont)
-        return segment_sum_mod(prods, seg, m - m0, k_sub)
+        return segment_sum_mod(prods, seg, m - m0, lvl2, n_sub)
 
     with phase("setup::u_j(x), w_j(x) column sums"):
         uj_x = col_sums(u_cols)

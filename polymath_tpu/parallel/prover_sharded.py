@@ -34,7 +34,7 @@ from ..protocol.data_structures import Proof
 from ..ops.field_jax import FR
 from ..ops.prover_jax import (
     get_artifacts, fr_ints_to_mont_device, mont_scalar, mont_to_int,
-    coo_matvec_raw, _stage2_jit, _eval_jit, _tru_jit,
+    coo_matvec_raw, _stage2_jit, _divide_jit, _eval_jit, _tru_jit,
 )
 from ..ops.msm import _window_params, _horner_windows_host
 from .ntt_sharded import ntt_sharded
@@ -71,16 +71,15 @@ def _from_mont_jit():
 
 @lru_cache(maxsize=None)
 def _stage1_sharded_jit(n: int, m0: int, m: int, n_r: int, cols: int,
-                        ka: int, kb: int, kc: int, mesh):
+                        na: int, nb: int, nc: int, mesh):
     """Stage-1 with the four size-n/2n NTTs sharded over the mesh.
     Mirrors ops/prover_jax._stage1_jit (see there for the SAP algebra)."""
 
     def stage1(x_m, z_r, coo_data):
-        (a_rows, a_cols, a_co, b_rows, b_cols, b_co,
-         c_rows, c_cols, c_co) = coo_data
-        az = coo_matvec_raw(a_rows, a_cols, a_co, z_r, n_r, ka)
-        bz = coo_matvec_raw(b_rows, b_cols, b_co, z_r, n_r, kb)
-        cz = coo_matvec_raw(c_rows, c_cols, c_co, z_r, n_r, kc)
+        (coo_a, coo_b, coo_c) = coo_data
+        az = coo_matvec_raw(*coo_a, z_r, n_r, na)
+        bz = coo_matvec_raw(*coo_b, z_r, n_r, nb)
+        cz = coo_matvec_raw(*coo_c, z_r, n_r, nc)
         amb = FR.sub(az, bz)
         apb = FR.add(az, bz)
         y_n = FR.mont_mul(amb, amb)
@@ -145,14 +144,12 @@ def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
 
     x_m = fr_ints_to_mont_device(instance)
     z_r = fr_ints_to_mont_device(instance + witness)
-    coo_data = (
-        art.coo_a.row_idx, art.coo_a.col_idx, art.coo_a.coeffs_mont,
-        art.coo_b.row_idx, art.coo_b.col_idx, art.coo_b.coeffs_mont,
-        art.coo_c.row_idx, art.coo_c.col_idx, art.coo_c.coeffs_mont,
-    )
+    coo_data = tuple(
+        (cm.row_idx, cm.col_idx, cm.coeffs_mont, cm.lvl2_idx)
+        for cm in (art.coo_a, art.coo_b, art.coo_c))
     s1 = _stage1_sharded_jit(n, m0, m, n_r, cols,
-                             art.coo_a.k_sub, art.coo_b.k_sub,
-                             art.coo_c.k_sub, mesh)(x_m, z_r, coo_data)
+                             art.coo_a.n_sub, art.coo_b.n_sub,
+                             art.coo_c.n_sub, mesh)(x_m, z_r, coo_data)
     assert int(s1["vanish_rem_nz"]) == 0, \
         "vanishing division (u^2 - w) / Z_H must be exact"
 
@@ -196,10 +193,12 @@ def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
 
     d_len = 2 * (n - 1) + sigma * (MINUS_ALPHA + MINUS_GAMMA) + 1
     eval_sum = mont_scalar((a_at_x1 + x2 * c_at_x1) % R)
-    q_mont, rem = _stage2_jit(n, sigma, d_len)(
+    x1_m = mont_scalar(x1)
+    dnum = _stage2_jit(n, sigma, d_len)(
         s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
         mont_scalar(ra0_i), mont_scalar(ra1_i),
-        mont_scalar(x1), mont_scalar(x2), eval_sum)
+        x1_m, mont_scalar(x2), eval_sum)
+    q_mont, rem = _divide_jit(d_len)(dnum, x1_m)
     assert mont_to_int(rem) == 0, \
         "quotient division by (X - x1) must be exact"
 

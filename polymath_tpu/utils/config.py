@@ -29,3 +29,24 @@ def use_pallas() -> bool:
 def pallas_interpret() -> bool:
     """Interpret mode (CPU testing of the Pallas path)."""
     return not on_tpu()
+
+
+def device_sync(x):
+    """Force execution of everything queued up to (and including) x.
+
+    PJRT allocates program OUTPUT buffers at async dispatch time, so a
+    python loop that queues dozens of chunk programs pre-allocates all
+    their outputs at once and OOMs HBM long before execution frees
+    anything (observed: 2^20-constraint setup queues ~96 fixed-base
+    chunks = ~21 GB of pending outputs on a 16 GB chip).  Throttle such
+    loops with this call.  NB: jax.block_until_ready is NOT sufficient
+    through the remote-TPU tunnel — only a (tiny) D2H pull is.
+    """
+    import numpy as np
+    import jax
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    try:
+        np.asarray(leaf.reshape(-1)[:1])
+    except Exception:
+        jax.block_until_ready(leaf)
+    return x

@@ -39,11 +39,13 @@ def sync(x):
     """Block on async JAX dispatch when tracing, so phase() scopes measure
     device execution like the reference's synchronous ark-std timers
     (otherwise stage time is attributed to the next blocking op).  Returns
-    its argument; a no-op when tracing is off."""
+    its argument; a no-op when tracing is off.  Uses a tiny D2H pull —
+    block_until_ready does not actually wait through the remote-TPU
+    tunnel (see utils.config.device_sync)."""
     if trace_enabled():
         try:
-            import jax
-            jax.block_until_ready(x)
+            from .config import device_sync
+            device_sync(x)
         except Exception:
             pass
     return x

@@ -39,15 +39,22 @@ def main():
     sc = jnp.asarray(ints_to_limbs(
         [rng.randrange(R) for _ in range(n)], FR_SPEC.L))
 
+    def sync(r):
+        # block_until_ready through the axon tunnel does not actually wait
+        # for device execution; a (tiny) D2H pull does.
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+        return r
+
     def timed(name, f, *a, reps=3):
         g = jax.jit(f)
         t0 = time.time()
-        r = jax.block_until_ready(g(*a))
+        r = sync(g(*a))
         first = time.time() - t0
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            r = jax.block_until_ready(g(*a))
+            r = sync(g(*a))
             ts.append(time.time() - t0)
         print(f"# {name:34s} first {first:7.1f}s steady {min(ts)*1e3:8.1f}ms",
               file=sys.stderr, flush=True)
