@@ -214,6 +214,31 @@ def jac_madd(p, leaf, fast: bool = False):
 # These keep the number of jac_add instances in the traced graph small
 # (compile time on TPU scales with HLO op count; one jac_add is ~10^4 ops).
 
+def tree_sum_jac(pj):
+    """Total sum along the trailing axis by pairwise halving: log2(n)
+    rounds of one large batched jac_add each (vs fold_sum_jac's ~seq
+    sequential scan steps of small batches — fewer, fatter kernel launches
+    keep the VPU fed for the MSM window fold).
+
+    NB: every distinct halving shape traces a fused point kernel (~30 s of
+    host time each on a 2-core box) — a known per-process cost; see
+    tools/ROUND3_NOTES.md before changing the shape schedule (it would
+    invalidate the compiled-program cache for the bench)."""
+    n = pj[0].shape[-1]
+    while n > 1:
+        if n & 1:
+            idn = jac_identity(pj[0].shape[1:-1] + (1,))
+            pj = tuple(jnp.concatenate([a, b], axis=-1)
+                       for a, b in zip(pj, idn))
+            n += 1
+        half = n // 2
+        lo = tuple(a[..., :half] for a in pj)
+        hi = tuple(a[..., half:] for a in pj)
+        pj = jac_add(lo, hi)
+        n = half
+    return pj
+
+
 def fold_sum_jac(pj, seq: int = 64):
     """Total sum of a jacobian batch along the trailing axis.
 

@@ -115,12 +115,18 @@ FB_CHUNK = 1 << 18
 def fixed_base_mul(scalars, chunk: int = FB_CHUNK):
     """scalars: (16, N) canonical Fr limbs -> affine (X, Y) device arrays
     (24, N).  All scalars must be nonzero (SRS exponents always are)."""
+    from ..utils.config import on_tpu
+
     table = _g1_table()
     n = scalars.shape[-1]
     if n <= chunk:
-        # pad to a power of two (>= 4096) so compiled programs are shared
-        # across SRS vector sizes; pad scalars are 1 (nonzero), discarded.
-        n_pad = 1 << max(12, (n - 1).bit_length())
+        # pad to a power of two so compiled programs are shared across SRS
+        # vector sizes; pad scalars are 1 (nonzero), discarded.  Floor 4096
+        # on TPU (few shared programs); 256 on CPU, where XLA compiles of
+        # the scan-CIOS point graphs scale badly with width (an hour+ at
+        # 4096 on a 2-core host).
+        floor = 12 if on_tpu() else 8
+        n_pad = 1 << max(floor, (n - 1).bit_length())
         if n_pad != n:
             one = jnp.zeros((16, n_pad - n), jnp.uint32).at[0].set(1)
             scalars = jnp.concatenate([scalars, one], axis=1)
