@@ -34,10 +34,14 @@ from ..ops.ntt import domain_omega, ntt_local_batched, powers_of
 from ..ops.pallas_field import fr_mul
 
 
-@lru_cache(maxsize=None)
 def _outer_twiddle(n1: int, n2: int, inverse: bool):
     """(L, n1, n2) Montgomery twiddles w^(±k1*j2) via one gather from the
-    length-n power table (host-precomputed index matrix)."""
+    length-n power table (host-precomputed index matrix).
+
+    NOT lru_cached: this traces jnp ops, and caching a tracer from one jit
+    scope leaks it into the next (UnexpectedTracerError when a second
+    jitted caller — e.g. the sharded prover's stage1 after the dryrun's
+    primitive check — hits the cache)."""
     n = n1 * n2
     omega = domain_omega(n)
     if inverse:
