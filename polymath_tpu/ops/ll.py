@@ -115,7 +115,41 @@ class LLOps:
         return self.cond_sub_p(self.carry(t))
 
     def mont_sqr(self, a):
-        return self.mont_mul(a, a)
+        """Dedicated Montgomery squaring: SOS with symmetric cross terms
+        (each a_i*a_j, j > i, computed once and added twice) followed by
+        the L-step Montgomery reduction — L(L+1)/2 + L^2 limb products vs
+        mont_mul's 2L^2 (~0.76x; the MSM madd is 8M+3S, the double 2M+5S,
+        so point kernels win a further ~6-15%).
+
+        Accumulator bounds: t[k] collects <= L doubled lo/hi halves
+        (< 2^17 each) from the square phase (< 2^21.6 for L = 24) plus
+        2 halves per reduction step (+ L * 2^17), all < 2^23 — well under
+        the uint32 lane, same headroom argument as field_jax.mont_mul.
+        """
+        L = self.L
+        zero = jnp.zeros_like(a[0])
+        t = [zero] * (2 * L + 1)
+        for i in range(L):
+            pj = a[i] * a[i]
+            t[2 * i] = t[2 * i] + (pj & _M)
+            t[2 * i + 1] = t[2 * i + 1] + (pj >> LIMB_BITS)
+            for j in range(i + 1, L):
+                pj = a[i] * a[j]
+                lo2 = (pj & _M) + (pj & _M)
+                hi2 = (pj >> LIMB_BITS) + (pj >> LIMB_BITS)
+                t[i + j] = t[i + j] + lo2
+                t[i + j + 1] = t[i + j + 1] + hi2
+        for _ in range(L):
+            m = (t[0] * self.n0inv) & _M
+            for j in range(L):
+                pc = np.uint32(self.p_ints[j])
+                pj = m * pc
+                t[j] = t[j] + (pj & _M)
+                t[j + 1] = t[j + 1] + (pj >> LIMB_BITS)
+            carry0 = t[0] >> LIMB_BITS
+            t = t[1:]
+            t[0] = t[0] + carry0
+        return self.cond_sub_p(self.carry(t))
 
     # -- predicates ----------------------------------------------------------
     def is_zero(self, a):

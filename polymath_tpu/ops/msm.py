@@ -55,7 +55,9 @@ SCALAR_BITS = 255
 
 def _scan_seq() -> int:
     import os
-    return int(os.environ.get("POLYMATH_MSM_SEQ", 64))
+    # 128: halves the row-offset recursion vs 64 while the scan stays
+    # (W * rows)-wide = 19*2048 lanes at the default chunk — VPU-saturating
+    return int(os.environ.get("POLYMATH_MSM_SEQ", 128))
 
 
 def _window_params(n: int):
@@ -220,7 +222,10 @@ def _msm_run_jit(chunk: int, n_chunks: int, c: int, windows: int,
         wsum, err = _msm_run(xs, ys, sc, chunk, n_chunks, c, windows,
                              fast, mont, seq)
         return jnp.stack(wsum), err
-    return jax.jit(run)
+    from .aot import aot_jit
+    return aot_jit(run, f"msm-{chunk}x{n_chunks}-c{c}w{windows}-"
+                        f"{'fast' if fast else 'safe'}-"
+                        f"{'mont' if mont else 'canon'}-s{seq}")
 
 
 def _horner_windows_host(wsums, c: int, windows: int):
@@ -275,6 +280,14 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
     m = min(scalars.shape[-1], n)
     n_chunks = max(1, (m + chunk - 1) // chunk)
     lim = n_chunks * chunk
+    # bases stored pre-padded to whole chunks (DeviceArtifacts): when the
+    # scalar count rounds to one chunk fewer, prefer one mostly-dead chunk
+    # (~0.2 s VPU) over slicing the multi-GB base arrays (a ~0.8 GB copy
+    # per MSM) — this also merges the a (n) and r (n+1) program classes
+    if (xs.shape[-1] > lim and xs.shape[-1] % chunk == 0
+            and xs.shape[-1] - lim <= chunk):
+        n_chunks = xs.shape[-1] // chunk
+        lim = n_chunks * chunk
     # pad scalars with zeros (inert digits) up to whole chunks; pad/trim
     # the bases to match — SRS arrays are stored pre-padded (identity
     # points at the tail), so the hot path slices views, never copies

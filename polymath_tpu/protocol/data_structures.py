@@ -9,6 +9,7 @@ are affine tuples; the proving key's big G1 vectors may also live on device
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from ..serial import codec
@@ -119,6 +120,35 @@ _PK_VECTORS = (
     "x_powers_y_gamma_g1", "x_powers_y_gamma_z_g1", "uj_wj_lcs_by_y_alpha_g1",
 )
 
+# big vectors kept as packed device arrays; small ones decode to host points
+_PK_BIG = ("x_powers_g1", "x_powers_zh_by_y_alpha_g1",
+           "x_powers_y_gamma_z_g1", "uj_wj_lcs_by_y_alpha_g1")
+_PK_SMALL = ("x_powers_y_alpha_g1", "x_powers_y_gamma_g1")
+
+
+class SAPDims:
+    """Dimension-only stand-in for SAPMatrices (ProvingKey.load_dir).
+
+    The device prover only reads dimensions from pk.sap_matrices (the
+    sparse content is consumed via the pre-planned COO arrays); this
+    avoids re-parsing ~nnz terms of sap bytes on every process start.
+    """
+
+    def __init__(self, m0: int, m_w: int, n_r: int):
+        self.num_instance_variables = m0
+        self.num_r1cs_witness_variables = m_w
+        self.num_r1cs_constraints = n_r
+        self.a = self.b = self.c = None
+
+    def m0_m_n(self):
+        m0 = self.num_instance_variables
+        return m0, m0 + self.num_r1cs_witness_variables, \
+            self.num_r1cs_constraints
+
+    def size(self):
+        m0, m, n = self.m0_m_n()
+        return (m0 + n) * 2, m0 * 2 + m + n
+
 
 @dataclass
 class ProvingKey:
@@ -225,4 +255,102 @@ class ProvingKey:
             }
         except ImportError:
             pass
+        return pk
+
+    # -- raw .npy directory store (fastest cold-process path) -------------
+    # One .npy per SRS vector instead of a single npz: memmap'd reads skip
+    # the multi-GB zip copy (70-265 s observed for the 2^21 npz), the big
+    # vectors are stored pre-padded to whole MSM chunks (no device-side
+    # re-pad copies), and the COO matrices are stored post-planning so a
+    # fresh process skips the host big-int coefficient conversion.
+
+    def save_dir(self, path: str) -> None:
+        import json
+        import numpy as np
+        from ..ops.prover_jax import get_artifacts
+        from ..serial import codec
+
+        art = get_artifacts(self)
+        os.makedirs(path, exist_ok=True)
+        m0, m, n_r = self.sap_matrices.m0_m_n()
+        meta = {
+            "version": 1,
+            "sap_dims": [m0, m - m0, n_r],
+            "small": {
+                name: [codec.g1_to_bytes(p).hex()
+                       for p in getattr(self, name)]
+                for name in _PK_SMALL
+            },
+            "coo": {},
+            "true_len": {},
+        }
+        with open(os.path.join(path, "vk.bin"), "wb") as fh:
+            fh.write(self.vk.to_bytes())
+        for name in _PK_BIG:
+            xs, ys = art.srs[name]
+            np.save(os.path.join(path, name + "_x.npy"), np.asarray(xs))
+            np.save(os.path.join(path, name + "_y.npy"), np.asarray(ys))
+            meta["true_len"][name] = len(getattr(self, name) or []) or None
+        for tag, cm in (("a", art.coo_a), ("b", art.coo_b), ("c", art.coo_c)):
+            np.save(os.path.join(path, f"coo_{tag}_row.npy"),
+                    np.asarray(cm.row_idx))
+            np.save(os.path.join(path, f"coo_{tag}_col.npy"),
+                    np.asarray(cm.col_idx))
+            np.save(os.path.join(path, f"coo_{tag}_coeff.npy"),
+                    np.asarray(cm.coeffs_mont))
+            if cm.lvl2_idx is not None:
+                np.save(os.path.join(path, f"coo_{tag}_lvl2.npy"),
+                        np.asarray(cm.lvl2_idx))
+            meta["coo"][tag] = {
+                "n_sub": cm.n_sub, "num_rows": cm.num_rows,
+                "num_cols": cm.num_cols,
+                "lvl2": cm.lvl2_idx is not None,
+            }
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load_dir(cls, path: str) -> "ProvingKey":
+        import json
+        import numpy as np
+        import jax
+        from ..ops.sparse import CooMatrix
+        from ..serial import codec
+        from ..utils.config import device_sync
+
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        with open(os.path.join(path, "vk.bin"), "rb") as fh:
+            vk = VerifyingKey.from_bytes(fh.read())
+        sap = SAPDims(*meta["sap_dims"])
+        vecs = {name: None for name in _PK_VECTORS}
+        for name in _PK_SMALL:
+            vecs[name] = [codec.g1_from_bytes(bytes.fromhex(h))
+                          for h in meta["small"][name]]
+        pk = cls(vk, sap, *[vecs[name] for name in _PK_VECTORS])
+        srs = {}
+        for name in _PK_BIG:
+            # read into RAM first: device_put straight off a memmap was
+            # measured ~19 MB/s through the TPU tunnel (page-fault-paced
+            # streaming) vs ~77 MB/s disk + ~1 GB/s h2d when staged
+            xs = np.load(os.path.join(path, name + "_x.npy"))
+            ys = np.load(os.path.join(path, name + "_y.npy"))
+            # upload one vector at a time (PJRT pre-allocates transfer
+            # buffers at dispatch; see utils.config.device_sync)
+            srs[name] = (jax.device_put(xs), jax.device_put(ys))
+            device_sync(srs[name])
+            del xs, ys
+        pk.device["srs"] = srs
+        coo = {}
+        for tag in ("a", "b", "c"):
+            cm = meta["coo"][tag]
+            lvl2 = None
+            if cm["lvl2"]:
+                lvl2 = np.load(os.path.join(path, f"coo_{tag}_lvl2.npy"))
+            coo[tag] = CooMatrix.from_arrays(
+                np.load(os.path.join(path, f"coo_{tag}_row.npy")),
+                np.load(os.path.join(path, f"coo_{tag}_col.npy")),
+                np.load(os.path.join(path, f"coo_{tag}_coeff.npy")),
+                lvl2, cm["n_sub"], cm["num_rows"], cm["num_cols"])
+        pk.device["coo"] = coo
         return pk

@@ -9,6 +9,9 @@ the jax.config updates below win as long as no backend was initialized.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA:CPU AOT cache loads log a non-fatal machine-feature ERROR pair per
+# entry (~3 KB each; the entries still load) — silence C++ logs in tests
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

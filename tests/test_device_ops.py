@@ -127,3 +127,21 @@ def test_window_digits():
     for i, s in enumerate(scalars):
         for w in range(windows):
             assert digits[w, i] == (s >> (w * c)) & ((1 << c) - 1), (i, w)
+
+
+def test_ll_mont_sqr_vs_host():
+    """Dedicated SOS Montgomery squaring (ll.LLOps.mont_sqr) vs python
+    ints, both fields, edge values included."""
+    from polymath_tpu.ops.ll import LL_FR, LL_FQ
+
+    for spec, LL in ((FR_SPEC, LL_FR), (FQ_SPEC, LL_FQ)):
+        p = spec.modulus
+        vals = [0, 1, p - 1, p - 2, (1 << 255) % p] + \
+            [rng.randrange(p) for _ in range(24)]
+        arr = np.asarray(ints_to_limbs(
+            [spec.to_mont_int(v) for v in vals], spec.L))
+        lst = [jnp.asarray(arr[i]) for i in range(spec.L)]
+        out = LL.mont_sqr(lst)
+        got = [spec.from_mont_int(v) for v in limbs_to_ints(
+            np.stack([np.asarray(x) for x in out]))]
+        assert got == [v * v % p for v in vals], spec.name

@@ -55,3 +55,21 @@ def test_golden_dummy_bytes(transcript):
     assert hex(x1) == golden["x1"], "challenge x1 changed"
     assert hex(x2) == golden["x2"], "challenge x2 changed"
     assert pm.verify(vk, [a * b % R], proof)
+
+
+RUST_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "rust_dummy.json")
+
+
+@pytest.mark.skipif(not os.path.exists(RUST_FIXTURE),
+                    reason="Rust reference vectors not imported (cargo is "
+                           "unavailable here; see tools/rust_vectors/)")
+def test_rust_reference_vectors():
+    """Proofs produced by the actual Rust reference crate must verify
+    under this repo's verifier (byte-exact codec + transcript + pairing
+    cross-validation; tools/import_rust_vectors.py installs the fixture)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import import_rust_vectors
+
+    import_rust_vectors.check(RUST_FIXTURE)

@@ -85,6 +85,7 @@ def test_sharded_msm_2_10_points():
     assert got == bls.G1.msm(pts, scalars)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
 def test_sharded_e2e_prove_verifies():
     """Full proof THROUGH the mesh (create_proof_sharded), accepted by the
@@ -93,3 +94,33 @@ def test_sharded_e2e_prove_verifies():
     from polymath_tpu.parallel.dryrun import run_sharded_prove
     mesh = make_mesh(8)
     run_sharded_prove(mesh)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_sharded_e2e_prove_2_12():
+    """Sharded prove at n = 2^12 (VERDICT r3 next #6): real shard widths
+    — Bailey factors 64x64 hold 8 lanes/device, each device's MSM chunk
+    holds hundreds of points, and the ~10n d-MSM basis (~41k points) is
+    sharded across the mesh (the layer's stated purpose,
+    prover_sharded.py:16-18)."""
+    import random
+    from polymath_tpu.hostmath.bls12_381 import R
+    from polymath_tpu.circuits.mimc import MiMCDemo, mimc_hash
+    from polymath_tpu.protocol import Polymath, Rng
+    from polymath_tpu.protocol import verifier as _verifier
+    from polymath_tpu.transcript import MerlinFieldTranscript
+    from polymath_tpu.parallel.prover_sharded import create_proof_sharded
+
+    mesh = make_mesh(8)
+    rounds = 1023  # n = 4 * rounds + 4 = 2^12
+    crng = random.Random(31)
+    consts = [crng.randrange(R) for _ in range(rounds)]
+    xl, xr = crng.randrange(R), crng.randrange(R)
+    image = mimc_hash(xl, xr, consts)
+
+    pm = Polymath(transcript=MerlinFieldTranscript, backend="jax")
+    pk, vk = pm.setup(MiMCDemo(constants=consts), Rng(31))
+    proof = create_proof_sharded(
+        MiMCDemo(xl, xr, consts), pk, Rng(32), MerlinFieldTranscript, mesh)
+    assert _verifier.verify_proof(vk, proof, [image], MerlinFieldTranscript)
