@@ -66,11 +66,13 @@ def main():
     pk_dir = os.path.join(cache_dir, f"pk_{num_constraints}_{seed}.dir")
     pk_path = os.path.join(cache_dir, f"pk_{num_constraints}_{seed}.npz")
     setup_s = 0.0
+    pk_load_s = 0.0
     if os.path.isdir(pk_dir):
         t0 = time.time()
         pk = ProvingKey.load_dir(pk_dir)
         vk = pk.vk
-        print(f"# setup: loaded SRS dir cache in {time.time()-t0:.1f}s "
+        pk_load_s = time.time() - t0
+        print(f"# setup: loaded SRS dir cache in {pk_load_s:.1f}s "
               f"(n={vk.n})", file=sys.stderr)
     elif os.path.exists(pk_path):
         t0 = time.time()
@@ -133,6 +135,7 @@ def main():
             "prove_seconds": round(prove_s, 3),
             "warm_prove_seconds": round(warm_s, 1),
             "setup_seconds": round(setup_s, 1),
+            "pk_load_seconds": round(pk_load_s, 1),
             "verify_ms": round(verify_s * 1e3, 2),
             "verify_reps": verify_reps,
             "domain_n": vk.n,

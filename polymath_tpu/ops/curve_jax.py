@@ -210,6 +210,38 @@ def jac_madd(p, leaf, fast: bool = False):
     return jac_madd_core(p, leaf, fast)
 
 
+# -- 16-bit packed affine points --------------------------------------------
+# Bulk point data (SRS vectors, MSM gather traffic) travels as (L/2, ...)
+# uint32 rows packing limb pairs lo | hi << 16 — half the HBM bytes and
+# half the h2d upload of the (L, ...) form.  Kernels unpack at register
+# level (ll.split_packed).
+
+def pack_limbs(a):
+    """(L, ...) 16-bit limbs in u32 lanes -> (L/2, ...) packed."""
+    return a[0::2] | (a[1::2] << np.uint32(16))
+
+
+def unpack_limbs(a):
+    """(L/2, ...) packed -> (L, ...) 16-bit limbs in u32 lanes."""
+    lo = a & np.uint32(0xFFFF)
+    hi = a >> np.uint32(16)
+    out = jnp.stack([lo, hi], axis=1)
+    return out.reshape((a.shape[0] * 2,) + a.shape[1:])
+
+
+def jac_madd_packed(p, leaf_packed, fast: bool = False):
+    """jac_madd whose affine leaves are 16-bit packed (L/2, ...) arrays.
+    Pallas path keeps them packed into VMEM; the fallback unpacks
+    in-graph (CPU testing)."""
+    from ..utils.config import use_pallas
+    shape = p[0].shape
+    if use_pallas() and int(np.prod(shape[1:])) >= 128:
+        from .pallas_curve import jac_madd_fused_packed
+        return jac_madd_fused_packed(p, leaf_packed, fast)
+    leaf = (unpack_limbs(leaf_packed[0]), unpack_limbs(leaf_packed[1]))
+    return jac_madd_core(p, leaf, fast)
+
+
 # -- graph-lean batched reductions ------------------------------------------
 # These keep the number of jac_add instances in the traced graph small
 # (compile time on TPU scales with HLO op count; one jac_add is ~10^4 ops).
@@ -220,10 +252,12 @@ def tree_sum_jac(pj):
     sequential scan steps of small batches — fewer, fatter kernel launches
     keep the VPU fed for the MSM window fold).
 
-    NB: every distinct halving shape traces a fused point kernel (~30 s of
-    host time each on a 2-core box) — a known per-process cost; see
-    tools/ROUND3_NOTES.md before changing the shape schedule (it would
-    invalidate the compiled-program cache for the bench)."""
+    On CPU (tests/dryrun) the halving schedule's ~log2(n) jac_add
+    instances (~12k HLO ops each) blow up XLA:CPU's LLVM compile; the
+    scan-based fold keeps ONE instance and compiles in seconds."""
+    from ..utils.config import use_pallas
+    if not use_pallas():
+        return fold_sum_jac(pj)
     n = pj[0].shape[-1]
     while n > 1:
         if n & 1:

@@ -36,6 +36,17 @@ class LLOps:
     def split(self, v):
         return [v[i] for i in range(self.L)]
 
+    def split_packed(self, v):
+        """(L/2, ...) uint32 rows, each packing limbs (2k | 2k+1 << 16),
+        -> limb list of length L.  Point data travels packed through HBM
+        (gathers/DMA at half the bytes); the unpack is 2 VPU ops per limb
+        pair at register level."""
+        out = []
+        for k in range(self.L // 2):
+            out.append(v[k] & _M)
+            out.append(v[k] >> LIMB_BITS)
+        return out
+
     def join(self, lst):
         return jnp.stack(lst)
 

@@ -45,12 +45,13 @@ from ..hostmath.bls12_381 import R
 from .limbs import FR_SPEC, FQ_SPEC, ints_to_limbs
 from .field_jax import FR, FQ
 from .curve_jax import (
-    jac_identity, jac_add, jac_madd, select_point,
+    jac_identity, jac_add, jac_madd, jac_madd_packed, select_point,
     points_to_device, jac_to_host, fold_sum_jac, prefix_scan_jac,
-    tree_sum_jac,
+    tree_sum_jac, pack_limbs,
 )
 
 SCALAR_BITS = 255
+_MSM_REV = "r3"  # traced-graph revision (see _msm_run_jit)
 
 
 def _scan_seq() -> int:
@@ -88,28 +89,30 @@ def _digits(scalars, c: int, windows: int):
 def _scan_local_madd(px, py, seq: int, fast: bool):
     """Inclusive mixed-add scan within rows of seq sorted leaves.
 
-    px, py: (L, W, n) sorted affine leaves (identity = (0,0)).
-    Returns (local (3 coords of (L, W, n)), totals (3 of (L, W, rows)),
-    err bool or None)."""
-    Lq, W, n = px.shape
+    px, py: (L/2, W, n) 16-bit-PACKED sorted affine leaves (identity =
+    (0,0)); leaves stay packed through HBM/VMEM, the madd kernel unpacks
+    at register level.  Returns (local (3 coords of (L, W, n)), totals
+    (3 of (L, W, rows)), err bool or None)."""
+    Lh, W, n = px.shape
     seq = min(seq, n)
     rows = n // seq
     assert rows * seq == n
-    pxr = jnp.moveaxis(px.reshape(Lq, W, rows, seq), -1, 0)  # (seq, L, W, rows)
-    pyr = jnp.moveaxis(py.reshape(Lq, W, rows, seq), -1, 0)
+    pxr = jnp.moveaxis(px.reshape(Lh, W, rows, seq), -1, 0)  # (seq, L/2, W, rows)
+    pyr = jnp.moveaxis(py.reshape(Lh, W, rows, seq), -1, 0)
 
     acc0 = jac_identity((W, rows))
     err0 = jnp.zeros((W, rows), jnp.bool_) if fast else None
 
     def body(carry, xy):
         acc, err = carry
-        nxt, e = jac_madd(acc, xy, fast=fast)
+        nxt, e = jac_madd_packed(acc, xy, fast=fast)
         if fast:
             err = err | e
         return (nxt, err), nxt
 
     (totals, err), local = jax.lax.scan(body, (acc0, err0), (pxr, pyr))
     # local: 3 coords of (seq, L, W, rows) -> (L, W, n)
+    Lq = local[0].shape[1]
     local = tuple(
         jnp.moveaxis(a, 0, -1).reshape(Lq, W, n) for a in local)
     return local, totals, err
@@ -117,22 +120,27 @@ def _scan_local_madd(px, py, seq: int, fast: bool):
 
 def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
                seq: int | None = None):
-    """One chunk: (L, n) affine limbs + (16, n) canonical scalars ->
-    (jacobian window sums with trailing axis `windows`, err bool|None)."""
+    """One chunk: (L/2, n) 16-bit-packed affine limbs + (16, n) canonical
+    scalars -> (jacobian window sums with trailing axis `windows`,
+    err bool|None)."""
     n = xs.shape[-1]
     seq = min(seq or _scan_seq(), n)
-    Lq = xs.shape[0]
+    Lh = xs.shape[0]                                 # L/2 packed rows
     digits = _digits(scalars, c, windows)            # (W, n)
     order = jnp.argsort(-digits, axis=-1)            # descending per window
     d_sorted = jnp.take_along_axis(digits, order, axis=-1)
     live = d_sorted > 0
-    # permute points into bucket order: one row-gather in (n, 2L) layout
-    # (contiguous 192-byte rows; measured ~2x the throughput of gathering
-    # along the limb-major layout), then transpose back for the kernels
-    xy_rows = jnp.concatenate([xs, ys], axis=0).T    # (n, 2L)
-    g = xy_rows[order.reshape(-1)]                   # (W*n, 2L)
-    g = jnp.moveaxis(g.reshape(windows, n, 2 * Lq), -1, 0)  # (2L, W, n)
-    g = jnp.where(live[None], g, 0)                  # dead leaves -> (0,0)
+    # permute points into bucket order: one row-gather in (n, L) packed
+    # layout (contiguous 96-byte rows — half the unpacked traffic).  Dead
+    # leaves (digit 0) redirect to a zero sentinel row instead of a
+    # full-size where() (saves a ~0.5 GB masked copy per chunk): (0, 0)
+    # is the affine identity encoding.
+    xy_rows = jnp.concatenate([xs, ys], axis=0).T    # (n, L)
+    xy_ext = jnp.concatenate(
+        [xy_rows, jnp.zeros((1, 2 * Lh), jnp.uint32)], axis=0)
+    idx = jnp.where(live, order, n)                  # (W, n)
+    g = xy_ext[idx.reshape(-1)]                      # (W*n, L)
+    g = jnp.moveaxis(g.reshape(windows, n, 2 * Lh), -1, 0)  # (L, W, n)
     pad = (-n) % seq
     if pad:
         # pad with dead identity leaves (digit 0 at the tail keeps the
@@ -142,7 +150,7 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
         d_sorted = jnp.concatenate(
             [d_sorted, jnp.zeros((windows, pad), jnp.int32)], axis=-1)
         n += pad
-    px, py = g[:Lq], g[Lq:]
+    px, py = g[:Lh], g[Lh:]
 
     local, totals, err = _scan_local_madd(px, py, seq, fast)
     rows = n // seq
@@ -156,12 +164,16 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
 
     # per-window counts of digits >= t for t = 1..2^c-1, via binary search
     # in the (flipped, ascending) sorted digit array — TPU bincount lowers
-    # to scatter-add, which is far slower than log2(n) search steps
+    # to scatter-add, which is far slower than log2(n) search steps.
+    # t runs to 2^c inclusive (a dead threshold: no digit reaches it, so
+    # cnt = 0 -> identity) purely so the trailing axis is 2^c: at c = 14
+    # the 16383-wide layout pays lane-padding relayouts in the threshold
+    # add AND an identity-concat copy at every tree_sum halving level.
     asc = jnp.flip(d_sorted, axis=-1)
-    t_vals = jnp.arange(1, 1 << c, dtype=d_sorted.dtype)
+    t_vals = jnp.arange(1, (1 << c) + 1, dtype=d_sorted.dtype)
     first_ge = jax.vmap(
         lambda a: jnp.searchsorted(a, t_vals, side="left"))(asc)
-    cnt = (n - first_ge).astype(jnp.int32)           # (W, 2^c - 1)
+    cnt = (n - first_ge).astype(jnp.int32)           # (W, 2^c)
     pos = jnp.clip(cnt - 1, 0, n - 1)
     loc_g = tuple(
         jnp.take_along_axis(a, pos[None], axis=-1) for a in local)
@@ -172,7 +184,7 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
     else:
         ps_g = loc_g
     ps_g = select_point(cnt > 0, ps_g,
-                        jac_identity((windows, (1 << c) - 1)))
+                        jac_identity((windows, 1 << c)))
     wsum = tree_sum_jac(ps_g)                        # (L, W, 1)
     if fast:
         err = jnp.any(err)
@@ -223,7 +235,10 @@ def _msm_run_jit(chunk: int, n_chunks: int, c: int, windows: int,
                              fast, mont, seq)
         return jnp.stack(wsum), err
     from .aot import aot_jit
-    return aot_jit(run, f"msm-{chunk}x{n_chunks}-c{c}w{windows}-"
+    # _MSM_REV: bump on any change to the traced MSM graph — the AOT store
+    # keys on name+avals, not graph content, and would reuse stale
+    # executables otherwise
+    return aot_jit(run, f"msm-{_MSM_REV}-{chunk}x{n_chunks}-c{c}w{windows}-"
                         f"{'fast' if fast else 'safe'}-"
                         f"{'mont' if mont else 'canon'}-s{seq}")
 
@@ -251,11 +266,13 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
                fast: bool = False, mont: bool = False, n_eff: int | None = None):
     """MSM over device arrays -> host affine point.
 
-    xs, ys: (24, N) affine Montgomery limbs; scalars: (16, M) Fr limbs
-    (canonical, or Montgomery with mont=True).  When M < N the remaining
-    bases get zero scalars (callers keep the SRS pre-padded on device and
-    pass short per-proof scalar vectors — re-padding multi-GB point arrays
-    per call would double HBM).
+    xs, ys: (24, N) affine Montgomery limbs, or (12, N) 16-bit-packed
+    (pack_limbs — the form SRS vectors are stored in; unpacked inputs are
+    packed here); scalars: (16, M) Fr limbs (canonical, or Montgomery
+    with mont=True).  When M < N the remaining bases get zero scalars
+    (callers keep the SRS pre-padded on device and pass short per-proof
+    scalar vectors — re-padding multi-GB point arrays per call would
+    double HBM).
 
     The whole MSM runs as ONE jitted program per (size, chunk) class: a
     fori_loop streams fixed-size chunks so a handful of compiled programs
@@ -266,6 +283,9 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
     n = xs.shape[-1] if n_eff is None else n_eff
     if n == 0:
         return None  # MSM over the empty set = G1 identity (host convention)
+    from .limbs import FQ_SPEC as _FQS
+    if xs.shape[0] == _FQS.L:        # unpacked input: pack once (eager)
+        xs, ys = pack_limbs(xs), pack_limbs(ys)
     if chunk is None:
         from ..utils.config import on_tpu
         if on_tpu():

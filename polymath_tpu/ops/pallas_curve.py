@@ -46,10 +46,13 @@ def _double_kernel(x1, y1, z1, ox, oy, oz):
     oz[...] = LL_FQ.join(rz)
 
 
-def _madd_kernel(fast: bool):
+def _madd_kernel(fast: bool, packed: bool = False):
     def kernel(x1, y1, z1, x2, y2, *outs):
         p = tuple(LL_FQ.split(r[...]) for r in (x1, y1, z1))
-        leaf = tuple(LL_FQ.split(r[...]) for r in (x2, y2))
+        if packed:
+            leaf = tuple(LL_FQ.split_packed(r[...]) for r in (x2, y2))
+        else:
+            leaf = tuple(LL_FQ.split(r[...]) for r in (x2, y2))
         (rx, ry, rz), err = ll_jac_madd(p, leaf, fast=fast)
         outs[0][...] = LL_FQ.join(rx)
         outs[1][...] = LL_FQ.join(ry)
@@ -103,11 +106,14 @@ def _double_call(rows_total: int):
 
 
 @lru_cache(maxsize=None)
-def _madd_call(rows_total: int, fast: bool):
+def _madd_call(rows_total: int, fast: bool, packed: bool = False):
     spec = _specs(rows_total)
     errspec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    n_out = 4 if fast else 3
+    leafspec = spec
+    if packed:
+        leafspec = pl.BlockSpec((L // 2, ROWS, LANES), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
     out_specs = (spec, spec, spec) + ((errspec,) if fast else ())
     out_shape = tuple(
         jax.ShapeDtypeStruct((L, rows_total, LANES), jnp.uint32)
@@ -115,27 +121,28 @@ def _madd_call(rows_total: int, fast: bool):
     if fast:
         out_shape += (jax.ShapeDtypeStruct((rows_total, LANES), jnp.uint32),)
     return jax.jit(pl.pallas_call(
-        _madd_kernel(fast),
+        _madd_kernel(fast, packed),
         grid=(pl.cdiv(rows_total, ROWS),),
-        in_specs=[spec] * 5,
+        in_specs=[spec] * 3 + [leafspec] * 2,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=pallas_interpret(),
     ))
 
 
-def _to_blocks(p):
-    """(L, ...batch) -> (L, rows, LANES) padded; returns (arrays, shape, n)."""
+def _to_blocks(p, lead: int = L):
+    """(lead, ...batch) -> (lead, rows, LANES) padded; returns
+    (arrays, shape, n)."""
     shape = p[0].shape
     n = int(np.prod(shape[1:]))
     pad = (-n) % LANES
     out = []
     for a in p:
-        a = a.reshape(L, n)
+        a = a.reshape(lead, n)
         if pad:
             a = jnp.concatenate(
-                [a, jnp.zeros((L, pad), jnp.uint32)], axis=1)
-        out.append(a.reshape(L, -1, LANES))
+                [a, jnp.zeros((lead, pad), jnp.uint32)], axis=1)
+        out.append(a.reshape(lead, -1, LANES))
     return tuple(out), shape, n
 
 
@@ -167,6 +174,23 @@ def jac_madd_fused(p, leaf, fast: bool = False):
     lb, _, _ = _to_blocks(leaf)
     rows_total = pb[0].shape[1]
     out = _madd_call(rows_total, fast)(*pb, *lb)
+    pt = _from_blocks(out[:3], shape, n)
+    err = None
+    if fast:
+        e = out[3].reshape(-1)[:n].reshape(shape[1:])
+        err = e != 0
+    return pt, err
+
+
+def jac_madd_fused_packed(p, leaf_packed, fast: bool = False):
+    """Like jac_madd_fused but the affine leaves arrive 16-bit-packed:
+    (L/2, ...batch) uint32 rows holding limb pairs (2k | 2k+1 << 16).
+    Leaves stay packed through HBM/VMEM (half the gather and scan-leaf
+    bytes of the MSM hot loop); the kernel unpacks at register level."""
+    pb, shape, n = _to_blocks(p)
+    lb, _, _ = _to_blocks(leaf_packed, lead=L // 2)
+    rows_total = pb[0].shape[1]
+    out = _madd_call(rows_total, fast, packed=True)(*pb, *lb)
     pt = _from_blocks(out[:3], shape, n)
     err = None
     if fast:

@@ -81,9 +81,13 @@ class DeviceArtifacts:
             self.coo_a = CooMatrix.from_sparse_rows(sap.a, m)
             self.coo_b = CooMatrix.from_sparse_rows(sap.b, m)
             self.coo_c = CooMatrix.from_sparse_rows(sap.c, m)
-        # SRS device arrays (affine Montgomery limbs)
+        # SRS device arrays (16-bit-packed affine Montgomery limbs —
+        # half the HBM residency and MSM gather traffic of the unpacked
+        # form; see curve_jax.pack_limbs)
         from ..utils.config import on_tpu
         from .msm import DEFAULT_CHUNK
+        from .curve_jax import pack_limbs
+        from .limbs import FQ_SPEC
         chunk = DEFAULT_CHUNK if on_tpu() else None
         self.srs = {}
         srs_in = pk.device.get("srs", {})
@@ -93,6 +97,12 @@ class DeviceArtifacts:
                 xy = srs_in[name]
             else:
                 xy = points_to_device(getattr(pk, name))
+            if xy[0].shape[0] == FQ_SPEC.L:
+                from ..utils.config import device_sync
+                xy = tuple(pack_limbs(a) for a in xy)
+                device_sync(xy)  # free the unpacked copies promptly
+                if name in srs_in:
+                    srs_in[name] = xy
             if chunk:
                 n_pts = xy[0].shape[-1]
                 pad = (-n_pts) % chunk

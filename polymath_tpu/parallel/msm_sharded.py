@@ -41,6 +41,10 @@ def msm_sharded_partials(xs, ys, scalars, mesh, axis: str = "dp"):
     """Traceable sharded MSM core: per-device Pippenger chunks combined
     over the mesh.  Returns (window params, jacobian window sums on
     device) — callers finish with the tiny host-side window Horner."""
+    from ..ops.limbs import FQ_SPEC
+    from ..ops.curve_jax import pack_limbs
+    if xs.shape[0] == FQ_SPEC.L:     # _msm_chunk consumes packed leaves
+        xs, ys = pack_limbs(xs), pack_limbs(ys)
     n = xs.shape[-1]
     d = mesh.shape[axis]
     assert n % d == 0, "pad MSM inputs to a multiple of the mesh size"

@@ -274,7 +274,9 @@ class ProvingKey:
         os.makedirs(path, exist_ok=True)
         m0, m, n_r = self.sap_matrices.m0_m_n()
         meta = {
-            "version": 1,
+            "version": 2,
+            # art.srs holds 16-bit-packed (L/2, N) arrays (DeviceArtifacts)
+            "packed": True,
             "sap_dims": [m0, m - m0, n_r],
             "small": {
                 name: [codec.g1_to_bytes(p).hex()
@@ -329,12 +331,18 @@ class ProvingKey:
                           for h in meta["small"][name]]
         pk = cls(vk, sap, *[vecs[name] for name in _PK_VECTORS])
         srs = {}
+        packed = bool(meta.get("packed"))
         for name in _PK_BIG:
             # read into RAM first: device_put straight off a memmap was
             # measured ~19 MB/s through the TPU tunnel (page-fault-paced
-            # streaming) vs ~77 MB/s disk + ~1 GB/s h2d when staged
+            # streaming) vs ~77 MB/s disk + staged h2d
             xs = np.load(os.path.join(path, name + "_x.npy"))
             ys = np.load(os.path.join(path, name + "_y.npy"))
+            if not packed:
+                # v1 dir (unpacked on disk): 16-bit-pack on host so the
+                # tunnel upload moves half the bytes
+                xs = xs[0::2] | (xs[1::2] << np.uint32(16))
+                ys = ys[0::2] | (ys[1::2] << np.uint32(16))
             # upload one vector at a time (PJRT pre-allocates transfer
             # buffers at dispatch; see utils.config.device_sync)
             srs[name] = (jax.device_put(xs), jax.device_put(ys))

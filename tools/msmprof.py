@@ -1,7 +1,12 @@
-"""Per-component timing of one MSM chunk at bench shapes (chunk=2^18).
+"""Per-component timing of one MSM chunk at bench shapes.
 
-Each stage is jitted separately and timed with device-resident inputs;
-subtract ~30 ms dispatch latency per call for in-graph cost estimates.
+Times the CURRENT _msm_chunk stages (16-bit-packed gather with zero-row
+sentinel, packed madd scan, searchsorted thresholds padded to 2^c,
+tree_sum window fold), each jitted separately with device-resident
+inputs; subtract ~30 ms dispatch latency per call for in-graph costs.
+
+Env: CHUNK (default 2^18), SEQ (default msm._scan_seq()), C (window
+override), REPS.
 """
 import os
 import sys
@@ -12,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 CHUNK = int(os.environ.get("CHUNK", 1 << 18))
-SEQ = int(os.environ.get("SEQ", 64))
+REPS = int(os.environ.get("REPS", 3))
 
 
 def main():
@@ -20,43 +25,51 @@ def main():
     import jax.numpy as jnp
     import polymath_tpu.ops  # noqa
     from polymath_tpu.ops.limbs import FR_SPEC, ints_to_limbs
-    from polymath_tpu.ops.field_jax import FR
     from polymath_tpu.ops.msm import (
-        _window_params, _digits, _scan_local_madd)
+        _window_params, _digits, _scan_local_madd, _scan_seq)
     from polymath_tpu.ops.curve_jax import (
-        jac_add, jac_identity, fold_sum_jac, prefix_scan_jac, select_point)
+        jac_add, jac_identity, tree_sum_jac, prefix_scan_jac, select_point,
+        pack_limbs)
     from polymath_tpu.ops.fixed_base import fixed_base_mul_ints
     import random
 
     rng = random.Random(5)
     n = CHUNK
+    seq = int(os.environ.get("SEQ", _scan_seq()))
     c, W = _window_params(n)
-    print(f"# chunk=2^{n.bit_length()-1} c={c} W={W} seq={SEQ}",
+    if os.environ.get("C"):
+        from polymath_tpu.ops.msm import SCALAR_BITS
+        c = int(os.environ["C"])
+        W = (SCALAR_BITS + c - 1) // c
+    print(f"# chunk=2^{n.bit_length()-1} c={c} W={W} seq={seq}",
           file=sys.stderr)
 
     from polymath_tpu.hostmath.bls12_381 import R
     xs, ys = fixed_base_mul_ints([rng.randrange(1, R) for _ in range(n)])
+    xs, ys = pack_limbs(xs), pack_limbs(ys)
+    Lh = 12
     sc = jnp.asarray(ints_to_limbs(
         [rng.randrange(R) for _ in range(n)], FR_SPEC.L))
 
     def sync(r):
-        # block_until_ready through the axon tunnel does not actually wait
-        # for device execution; a (tiny) D2H pull does.
         leaf = jax.tree_util.tree_leaves(r)[0]
         np.asarray(leaf.reshape(-1)[:1])
         return r
 
-    def timed(name, f, *a, reps=3):
+    results = {}
+
+    def timed(name, f, *a):
         g = jax.jit(f)
         t0 = time.time()
         r = sync(g(*a))
         first = time.time() - t0
         ts = []
-        for _ in range(reps):
+        for _ in range(REPS):
             t0 = time.time()
             r = sync(g(*a))
             ts.append(time.time() - t0)
-        print(f"# {name:34s} first {first:7.1f}s steady {min(ts)*1e3:8.1f}ms",
+        results[name] = min(ts) * 1e3
+        print(f"# {name:28s} first {first:7.1f}s steady {min(ts)*1e3:8.1f}ms",
               file=sys.stderr, flush=True)
         return r
 
@@ -65,18 +78,20 @@ def main():
 
     def gath(xs, ys, order, digits):
         d_sorted = jnp.take_along_axis(digits, order, axis=-1)
-        xy = jnp.concatenate([xs, ys], axis=0)
-        g = xy[:, order]
-        g = jnp.where((d_sorted > 0)[None], g, 0)
+        xy_rows = jnp.concatenate([xs, ys], axis=0).T
+        xy_ext = jnp.concatenate(
+            [xy_rows, jnp.zeros((1, 2 * Lh), jnp.uint32)], axis=0)
+        idx = jnp.where(d_sorted > 0, order, n)
+        g = xy_ext[idx.reshape(-1)]
+        g = jnp.moveaxis(g.reshape(W, n, 2 * Lh), -1, 0)
         return g, d_sorted
-    g, d_sorted = timed("gather+mask", gath, xs, ys, order, digits)
+    g, d_sorted = timed("gather(sentinel,packed)", gath, xs, ys, order, digits)
 
-    px, py = g[:24], g[24:]
-    def scan(px, py):
-        return _scan_local_madd(px, py, SEQ, True)
-    local, totals, err = timed("local madd scan", scan, px, py)
+    px, py = g[:Lh], g[Lh:]
+    local, totals, err = timed(
+        "packed madd scan", lambda a, b: _scan_local_madd(a, b, seq, True),
+        px, py)
 
-    rows = n // SEQ
     def recur(totals):
         row_ps = prefix_scan_jac(totals)
         idn1 = jac_identity((W, 1))
@@ -85,21 +100,23 @@ def main():
     offs = timed("row-offset recursion", recur, totals)
 
     def thresh(local, offs, d_sorted):
-        flat = (d_sorted + (jnp.arange(W, dtype=jnp.int32)[:, None] << c))
-        hist = jnp.bincount(flat.reshape(-1), length=W << c)
-        hist = hist.reshape(W, 1 << c)
-        cnt = (n - jnp.cumsum(hist, axis=-1))[:, :-1]
+        asc = jnp.flip(d_sorted, axis=-1)
+        t_vals = jnp.arange(1, (1 << c) + 1, dtype=d_sorted.dtype)
+        first_ge = jax.vmap(
+            lambda a: jnp.searchsorted(a, t_vals, side="left"))(asc)
+        cnt = (n - first_ge).astype(jnp.int32)
         pos = jnp.clip(cnt - 1, 0, n - 1)
         loc_g = tuple(jnp.take_along_axis(a, pos[None], axis=-1)
                       for a in local)
-        off_g = tuple(jnp.take_along_axis(a, (pos // SEQ)[None], axis=-1)
+        off_g = tuple(jnp.take_along_axis(a, (pos // seq)[None], axis=-1)
                       for a in offs)
         ps_g = jac_add(loc_g, off_g)
-        ps_g = select_point(cnt > 0, ps_g, jac_identity((W, (1 << c) - 1)))
-        return ps_g
+        return select_point(cnt > 0, ps_g, jac_identity((W, 1 << c)))
     ps_g = timed("threshold gather+combine", thresh, local, offs, d_sorted)
-    wsum = timed("window fold", lambda p: fold_sum_jac(p), ps_g)
-    print("# done", file=sys.stderr)
+    wsum = timed("window fold (tree)", lambda p: tree_sum_jac(p), ps_g)
+    total = sum(results.values())
+    print(f"# total {total:.0f}ms -> {n/total*1e3/1e6:.2f} Mpts/s "
+          f"(per-stage dispatch overhead included)", file=sys.stderr)
 
 
 if __name__ == "__main__":

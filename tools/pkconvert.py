@@ -35,7 +35,7 @@ def main(npz_path: str, out: str | None = None):
 
     sap = sap_from_reader(codec.Reader(data["sap"].tobytes()))
     m0, m, n_r = sap.m0_m_n()
-    meta = {"version": 1, "sap_dims": [m0, m - m0, n_r],
+    meta = {"version": 2, "packed": True, "sap_dims": [m0, m - m0, n_r],
             "small": {}, "coo": {}, "true_len": {}}
 
     def decode_small(name):
@@ -55,9 +55,11 @@ def main(npz_path: str, out: str | None = None):
             if pad:
                 arr = np.concatenate(
                     [arr, np.zeros((arr.shape[0], pad), np.uint32)], axis=1)
+            if arr.shape[0] == FQ_SPEC.L:  # 16-bit-pack limb pairs
+                arr = arr[0::2] | (arr[1::2] << np.uint32(16))
             np.save(os.path.join(out, name + ax + ".npy"), arr)
         meta["true_len"][name] = n_pts
-        print(f"# {name}: {n_pts} pts (+{pad} pad)", file=sys.stderr)
+        print(f"# {name}: {n_pts} pts (+{pad} pad, packed)", file=sys.stderr)
 
     for tag, mat in (("a", sap.a), ("b", sap.b), ("c", sap.c)):
         rows, cols, coeffs = [], [], []
