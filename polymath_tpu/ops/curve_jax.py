@@ -310,6 +310,24 @@ def fold_sum_jac(pj, seq: int = 64):
     return fold_sum_jac(acc, seq)
 
 
+def prefix_scan_jac_tree(pj):
+    """Inclusive prefix sum along the trailing axis, Hillis-Steele style:
+    log2(n) rounds of ONE full-width batched jac_add each (n log n adds
+    total vs the two-level scan's ~2n, but fat launches instead of ~n/seq
+    sequential small ones — wins when the batch keeps the VPU fed, e.g.
+    the MSM row-offset pass).  TPU-only: the log2(n) unrolled jac_add
+    instances blow up XLA:CPU LLVM compiles (see tree_sum_jac)."""
+    n = pj[0].shape[-1]
+    k = 1
+    while k < n:
+        idn = jac_identity(pj[0].shape[1:-1] + (k,))
+        shifted = tuple(jnp.concatenate([i, a[..., :-k]], axis=-1)
+                        for i, a in zip(idn, pj))
+        pj = jac_add(pj, shifted)
+        k *= 2
+    return pj
+
+
 def prefix_scan_jac(pj, seq: int = 64):
     """Inclusive prefix sum (group law) along the trailing axis, with a
     fixed-shape two-level decomposition: O(2n) adds, ~2 jac_add graph

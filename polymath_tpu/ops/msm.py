@@ -47,11 +47,23 @@ from .field_jax import FR, FQ
 from .curve_jax import (
     jac_identity, jac_add, jac_madd, jac_madd_packed, select_point,
     points_to_device, jac_to_host, fold_sum_jac, prefix_scan_jac,
-    tree_sum_jac, pack_limbs,
+    prefix_scan_jac_tree, tree_sum_jac, pack_limbs,
 )
 
 SCALAR_BITS = 255
 _MSM_REV = "r3"  # traced-graph revision (see _msm_run_jit)
+
+
+def _rowscan_mode() -> str:
+    """Row-offset prefix strategy: 'tree' (log-depth Hillis-Steele, fat
+    batches — TPU default) or 'seq' (two-level lax.scan — CPU default,
+    keeps XLA:CPU compiles linear)."""
+    import os
+    mode = os.environ.get("POLYMATH_MSM_ROWSCAN", "")
+    if mode in ("tree", "seq"):
+        return mode
+    from ..utils.config import on_tpu
+    return "tree" if on_tpu() else "seq"
 
 
 def _scan_seq() -> int:
@@ -155,7 +167,10 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
     local, totals, err = _scan_local_madd(px, py, seq, fast)
     rows = n // seq
     if rows > 1:
-        row_ps = prefix_scan_jac(totals)             # (L, W, rows) inclusive
+        if _rowscan_mode() == "tree":
+            row_ps = prefix_scan_jac_tree(totals)    # (L, W, rows) inclusive
+        else:
+            row_ps = prefix_scan_jac(totals)
         idn1 = jac_identity((windows, 1))
         offs = tuple(jnp.concatenate([i1, a[..., :-1]], axis=-1)
                      for i1, a in zip(idn1, row_ps))  # exclusive
@@ -237,10 +252,12 @@ def _msm_run_jit(chunk: int, n_chunks: int, c: int, windows: int,
     from .aot import aot_jit
     # _MSM_REV: bump on any change to the traced MSM graph — the AOT store
     # keys on name+avals, not graph content, and would reuse stale
-    # executables otherwise
+    # executables otherwise.  Env-selected graph variants (rowscan) must
+    # appear in the name for the same reason.
     return aot_jit(run, f"msm-{_MSM_REV}-{chunk}x{n_chunks}-c{c}w{windows}-"
                         f"{'fast' if fast else 'safe'}-"
-                        f"{'mont' if mont else 'canon'}-s{seq}")
+                        f"{'mont' if mont else 'canon'}-s{seq}-"
+                        f"{_rowscan_mode()}")
 
 
 def _horner_windows_host(wsums, c: int, windows: int):
@@ -256,6 +273,20 @@ def _horner_windows_host(wsums, c: int, windows: int):
                 acc = bls.G1.double(acc)
         acc = bls.G1.add(acc, pts[w])
     return acc
+
+
+def _default_chunk() -> int:
+    """MSM streaming chunk (points per fori_loop step).
+
+    Larger chunks amortize the per-chunk costs that do NOT scale with
+    points (threshold gather + window fold are W*2^c each, the row-offset
+    recursion is launch-bound) over more points, at the price of larger
+    scan transients in HBM (~5.5 KB/point at c=14).  2^18 is safe
+    everywhere; 2^19 measured faster at bench scale and still inside the
+    16 GB budget.  Pre-padded SRS vectors stored at a different grain are
+    re-padded device-side once per process (DeviceArtifacts)."""
+    import os
+    return int(os.environ.get("POLYMATH_MSM_CHUNK", DEFAULT_CHUNK))
 
 
 DEFAULT_CHUNK = 1 << 18
@@ -292,25 +323,35 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
             # one chunk size = ONE compiled scan body for every MSM in the
             # protocol (each distinct chunk class is minutes of XLA/Mosaic
             # compile; a mostly-dead trailing chunk costs ~0.2 s of VPU)
-            chunk = DEFAULT_CHUNK
+            chunk = _default_chunk()
         else:
             # CPU (tests/small circuits): pad less, compile small
             chunk = min(DEFAULT_CHUNK,
                         max(MIN_CHUNK, 1 << (n - 1).bit_length()))
     m = min(scalars.shape[-1], n)
+    # Tiny-tail split: the protocol's MSM sizes sit a handful of points
+    # past an exact chunk multiple (r: n+2, d: 10n+23 with n a power of
+    # two) — a full device chunk for <= 64 live points costs ~0.5 s of
+    # dead scan.  Peel the tail off to a host Pippenger over a few
+    # d2h-pulled rows instead.
+    tail_pt = None
+    import os as _os
+    from ..utils.config import on_tpu as _on_tpu
+    _tail_env = _os.environ.get("POLYMATH_MSM_TAIL", "")
+    _tail_on = (_on_tpu() if _tail_env == "" else
+                _tail_env not in ("0", "off", "false"))
+    if _tail_on and m > chunk:
+        lo = (m // chunk) * chunk
+        t = m - lo
+        if 0 < t <= 64:
+            tail_pt = _host_tail_msm(xs, ys, scalars, lo, m, mont)
+            m = lo
     n_chunks = max(1, (m + chunk - 1) // chunk)
     lim = n_chunks * chunk
-    # bases stored pre-padded to whole chunks (DeviceArtifacts): when the
-    # scalar count rounds to one chunk fewer, prefer one mostly-dead chunk
-    # (~0.2 s VPU) over slicing the multi-GB base arrays (a ~0.8 GB copy
-    # per MSM) — this also merges the a (n) and r (n+1) program classes
-    if (xs.shape[-1] > lim and xs.shape[-1] % chunk == 0
-            and xs.shape[-1] - lim <= chunk):
-        n_chunks = xs.shape[-1] // chunk
-        lim = n_chunks * chunk
-    # pad scalars with zeros (inert digits) up to whole chunks; pad/trim
-    # the bases to match — SRS arrays are stored pre-padded (identity
-    # points at the tail), so the hot path slices views, never copies
+    # scalars travel at exactly n_chunks*chunk (zero digits are inert);
+    # bases are NEVER sliced — the fori_loop reads a prefix of whatever
+    # is stored (pre-padded SRS keeps its full aval, which keys the AOT
+    # program class together with the chunk count)
     if scalars.shape[-1] != lim:
         if scalars.shape[-1] < lim:
             scalars = jnp.concatenate(
@@ -319,13 +360,10 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
                            jnp.uint32)], axis=1)
         else:
             scalars = scalars[:, :lim]
-    if xs.shape[-1] != lim:
-        if xs.shape[-1] < lim:
-            z24 = jnp.zeros((xs.shape[0], lim - xs.shape[-1]), jnp.uint32)
-            xs = jnp.concatenate([xs, z24], axis=1)
-            ys = jnp.concatenate([ys, z24], axis=1)
-        else:
-            xs, ys = xs[:, :lim], ys[:, :lim]
+    if xs.shape[-1] < lim:
+        z24 = jnp.zeros((xs.shape[0], lim - xs.shape[-1]), jnp.uint32)
+        xs = jnp.concatenate([xs, z24], axis=1)
+        ys = jnp.concatenate([ys, z24], axis=1)
     c, windows = _window_params(chunk)
     wsums, err = _msm_run_jit(chunk, n_chunks, c, windows, fast, mont,
                               min(_scan_seq(), chunk))(xs, ys, scalars)
@@ -333,7 +371,44 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
         assert not bool(err), (
             "MSM madd collision: repeated base point hit the fast-mode "
             "doubling skip; rerun with fast=False")
-    return _horner_windows_host(tuple(wsums), c, windows)
+    out = _horner_windows_host(tuple(wsums), c, windows)
+    if tail_pt is not None:
+        from ..hostmath import bls12_381 as bls
+        out = bls.G1.add(out, tail_pt)
+    return out
+
+
+def _host_tail_msm(xs, ys, scalars, lo: int, m: int, mont: bool):
+    """Host Pippenger over base rows [lo, m) pulled from device (tiny)."""
+    import numpy as np
+    from .limbs import FQ_SPEC, FR_SPEC, limbs_to_ints
+    from ..hostmath import bls12_381 as bls
+    from ..hostmath.bls12_381 import Fq
+
+    txs = np.asarray(xs[:, lo:m])
+    tys = np.asarray(ys[:, lo:m])
+    tsc = np.asarray(scalars[:, lo:m])
+
+    def unpack(a):
+        out = np.zeros((a.shape[0] * 2, a.shape[1]), np.uint32)
+        out[0::2] = a & np.uint32(0xFFFF)
+        out[1::2] = a >> np.uint32(16)
+        return out
+
+    if txs.shape[0] == FQ_SPEC.L // 2:   # 16-bit packed rows
+        txs, tys = unpack(txs), unpack(tys)
+    pts = []
+    for x, y in zip(limbs_to_ints(txs), limbs_to_ints(tys)):
+        xv, yv = FQ_SPEC.from_mont_int(x), FQ_SPEC.from_mont_int(y)
+        pts.append(None if yv == 0 else (Fq(xv), Fq(yv)))
+    sc = limbs_to_ints(tsc)
+    if mont:
+        sc = [FR_SPEC.from_mont_int(v) for v in sc]
+    live_p = [p for p, s in zip(pts, sc) if p is not None and s]
+    live_s = [s for p, s in zip(pts, sc) if p is not None and s]
+    if not live_p:
+        return None
+    return bls.G1.msm(live_p, live_s)
 
 
 DEVICE_MSM_MIN = 256  # below this the host Pippenger wins (no compile)

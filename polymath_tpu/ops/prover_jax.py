@@ -85,10 +85,10 @@ class DeviceArtifacts:
         # half the HBM residency and MSM gather traffic of the unpacked
         # form; see curve_jax.pack_limbs)
         from ..utils.config import on_tpu
-        from .msm import DEFAULT_CHUNK
+        from .msm import _default_chunk
         from .curve_jax import pack_limbs
         from .limbs import FQ_SPEC
-        chunk = DEFAULT_CHUNK if on_tpu() else None
+        chunk = _default_chunk() if on_tpu() else None
         self.srs = {}
         srs_in = pk.device.get("srs", {})
         for name in ("x_powers_g1", "x_powers_zh_by_y_alpha_g1",

@@ -98,6 +98,37 @@ def test_msm_device_vs_host_oracle_2_12():
     assert got == want
 
 
+def test_msm_tiny_tail_split_vs_host_oracle(monkeypatch):
+    """m = k*chunk + t with 0 < t <= 64 peels the tail to a host
+    Pippenger (msm.py tail split, the r/d MSM shapes: n+2, 10n+23)."""
+    import jax.numpy as jnp
+    from polymath_tpu.hostmath import bls12_381 as bls
+    from polymath_tpu.ops.limbs import FR_SPEC, ints_to_limbs
+    from polymath_tpu.ops.curve_jax import points_to_device
+    from polymath_tpu.ops.msm import msm_device
+
+    monkeypatch.setenv("POLYMATH_MSM_TAIL", "1")
+    chunk = 1 << 9
+    n = 2 * chunk + 23          # tail of 23 live points past 2 chunks
+    rng = random.Random(31)
+    base_scalars = [rng.randrange(1, R) for _ in range(64)]
+    base = [bls.G1.mul(bls.G1.gen, s) for s in base_scalars]
+    pts = (base * ((n + 63) // 64))[:n]
+    pts[-3] = None              # identity inside the host tail
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[-1] = 0             # zero scalar inside the host tail
+    xs, ys = points_to_device(pts)
+    sc = jnp.asarray(ints_to_limbs(scalars, FR_SPEC.L))
+    got = msm_device(xs, ys, sc, chunk=chunk)
+    want = bls.G1.msm(pts, scalars)
+    assert got == want
+    # bases longer than the scalar vector (pre-padded SRS shape): the
+    # base arrays are not sliced, trailing bases get zero scalars
+    got2 = msm_device(xs, ys, sc[:, :n - 40], chunk=chunk)
+    want2 = bls.G1.msm(pts[:n - 40], scalars[:n - 40])
+    assert got2 == want2
+
+
 def test_msm_fast_mode_flags_collisions():
     import jax.numpy as jnp
     from polymath_tpu.hostmath import bls12_381 as bls

@@ -87,17 +87,36 @@ def main():
         return g, d_sorted
     g, d_sorted = timed("gather(sentinel,packed)", gath, xs, ys, order, digits)
 
+    # split diagnosis: raw row-gather vs the (W*n, L) -> (L, W, n) relayout
+    def gath_raw(xs, ys, order, digits):
+        d_sorted = jnp.take_along_axis(digits, order, axis=-1)
+        xy_rows = jnp.concatenate([xs, ys], axis=0).T
+        xy_ext = jnp.concatenate(
+            [xy_rows, jnp.zeros((1, 2 * Lh), jnp.uint32)], axis=0)
+        idx = jnp.where(d_sorted > 0, order, n)
+        return xy_ext[idx.reshape(-1)]
+    graw = timed("gather-raw (no transpose)", gath_raw, xs, ys, order, digits)
+    timed("transpose only", lambda g: jnp.moveaxis(
+        g.reshape(W, n, 2 * Lh), -1, 0), graw)
+    del graw
+
     px, py = g[:Lh], g[Lh:]
     local, totals, err = timed(
         "packed madd scan", lambda a, b: _scan_local_madd(a, b, seq, True),
         px, py)
 
+    from polymath_tpu.ops.msm import _rowscan_mode
+    from polymath_tpu.ops.curve_jax import prefix_scan_jac_tree
+
     def recur(totals):
-        row_ps = prefix_scan_jac(totals)
+        if _rowscan_mode() == "tree":
+            row_ps = prefix_scan_jac_tree(totals)
+        else:
+            row_ps = prefix_scan_jac(totals)
         idn1 = jac_identity((W, 1))
         return tuple(jnp.concatenate([i1, a[..., :-1]], axis=-1)
                      for i1, a in zip(idn1, row_ps))
-    offs = timed("row-offset recursion", recur, totals)
+    offs = timed(f"row-offset ({_rowscan_mode()})", recur, totals)
 
     def thresh(local, offs, d_sorted):
         asc = jnp.flip(d_sorted, axis=-1)
@@ -113,6 +132,28 @@ def main():
         ps_g = jac_add(loc_g, off_g)
         return select_point(cnt > 0, ps_g, jac_identity((W, 1 << c)))
     ps_g = timed("threshold gather+combine", thresh, local, offs, d_sorted)
+
+    # threshold sub-split: searchsorted vs the local/offs gathers vs add
+    def thr_search(d_sorted):
+        asc = jnp.flip(d_sorted, axis=-1)
+        t_vals = jnp.arange(1, (1 << c) + 1, dtype=d_sorted.dtype)
+        first_ge = jax.vmap(
+            lambda a: jnp.searchsorted(a, t_vals, side="left"))(asc)
+        return (n - first_ge).astype(jnp.int32)
+    cnt = timed("  thr: searchsorted", thr_search, d_sorted)
+    pos = jnp.clip(cnt - 1, 0, n - 1)
+
+    def thr_gather(local, pos):
+        return tuple(jnp.take_along_axis(a, pos[None], axis=-1)
+                     for a in local)
+    loc_g = timed("  thr: local gather x3", thr_gather, local, pos)
+
+    def thr_add(loc_g, offs, pos, cnt):
+        off_g = tuple(jnp.take_along_axis(a, (pos // seq)[None], axis=-1)
+                      for a in offs)
+        ps = jac_add(loc_g, off_g)
+        return select_point(cnt > 0, ps, jac_identity((W, 1 << c)))
+    timed("  thr: offs-gather+add+sel", thr_add, loc_g, offs, pos, cnt)
     wsum = timed("window fold (tree)", lambda p: tree_sum_jac(p), ps_g)
     total = sum(results.values())
     print(f"# total {total:.0f}ms -> {n/total*1e3/1e6:.2f} Mpts/s "

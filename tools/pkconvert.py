@@ -20,7 +20,8 @@ def main(npz_path: str, out: str | None = None):
     from polymath_tpu.ops.limbs import FR_SPEC, FQ_SPEC, ints_to_limbs, \
         limbs_to_ints
     from polymath_tpu.ops.sparse import plan_segments
-    from polymath_tpu.ops.msm import DEFAULT_CHUNK
+    from polymath_tpu.ops.msm import _default_chunk
+    DEFAULT_CHUNK = _default_chunk()
     from polymath_tpu.serial import codec
     from polymath_tpu.protocol.data_structures import (
         sap_from_reader, _PK_BIG, _PK_SMALL)
