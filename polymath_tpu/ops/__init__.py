@@ -19,9 +19,15 @@ def _enable_compile_cache():
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # 0.0: cache everything — this host's XLA:CPU compiles of even tiny
         # limb-math programs run multiple seconds, and the threshold was
-        # observed to skip multi-minute modules.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # observed to skip multi-minute modules.  Honour explicit env
+        # overrides (JAX_PERSISTENT_CACHE_*): writing multi-100MB XLA:CPU
+        # entries has segfaulted inside the serialize+compress path, and
+        # raising the threshold via env is the escape hatch.
+        if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+        if "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES" not in os.environ:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
 

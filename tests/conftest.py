@@ -12,6 +12,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # XLA:CPU AOT cache loads log a non-fatal machine-feature ERROR pair per
 # entry (~3 KB each; the entries still load) — silence C++ logs in tests
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+# Writing very large XLA:CPU executables to the persistent cache
+# segfaults inside the serialize+compress path (reproduced twice on the
+# MiMC device-e2e d-MSM program).  Cache READS are unaffected by this
+# threshold, so warm entries still load; only multi-minute compiles go
+# unpersisted from test runs (polymath_tpu.ops honours this env).
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "120")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
