@@ -33,5 +33,10 @@ try:
         jax.config.update("jax_num_cpu_devices", 8)
     except Exception:
         pass
+    # The env var above is NOT picked up here: the axon sitecustomize
+    # imports jax at interpreter start, before conftest runs, so the
+    # config default was already captured.  Set it explicitly.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      100000.0)
 except ImportError:
     pass
