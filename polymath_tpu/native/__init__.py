@@ -64,6 +64,12 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_size_t]
         lib.pm_multi_pairing_is_one.restype = ctypes.c_int
+        for name in ("pm_g1_msm", "pm_g2_msm"):
+            fn = getattr(lib, name, None)
+            if fn is not None:
+                fn.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                               ctypes.c_int, ctypes.c_char_p]
+                fn.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -171,3 +177,62 @@ def multi_pairing_is_one(g1_points, g2_points) -> bool:
         from ..hostmath import bls12_381 as bls
         return bls.multi_pairing(g1_points, g2_points) == bls.Fq12.one()
     return bool(res)
+
+
+# -- verifier MSMs ----------------------------------------------------------
+# The verifier's 3-term G1 / 2-term G2 MSMs (reference verifier.rs:44-48)
+# cost ~55 ms of the 83 ms verify in pure Python; the native double-and-add
+# runs them in ~0.1 ms.  The pure-Python G1.msm/G2.msm stay the test oracle.
+
+def g1_msm(points, scalars) -> "object":
+    """Host affine G1 points (or None) + int scalars -> affine point."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pm_g1_msm"):
+        from ..hostmath import bls12_381 as bls
+        return bls.G1.msm(points, [s % bls.R for s in scalars])
+    from ..hostmath import bls12_381 as bls
+    buf = b""
+    sb = b""
+    for p, s in zip(points, scalars):
+        if p is None:
+            buf += bytes(96) + b"\x01"
+        else:
+            buf += (p[0].v.to_bytes(48, "little")
+                    + p[1].v.to_bytes(48, "little") + b"\x00")
+        sb += (s % bls.R).to_bytes(32, "little")
+    out = ctypes.create_string_buffer(97)
+    lib.pm_g1_msm(buf, sb, len(points), out)
+    raw = out.raw
+    if raw[96]:
+        return None
+    return (bls.Fq(int.from_bytes(raw[:48], "little")),
+            bls.Fq(int.from_bytes(raw[48:96], "little")))
+
+
+def g2_msm(points, scalars) -> "object":
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pm_g2_msm"):
+        from ..hostmath import bls12_381 as bls
+        return bls.G2.msm(points, [s % bls.R for s in scalars])
+    from ..hostmath import bls12_381 as bls
+    buf = b""
+    sb = b""
+    for p, s in zip(points, scalars):
+        if p is None:
+            buf += bytes(192) + b"\x01"
+        else:
+            buf += (p[0].c0.v.to_bytes(48, "little")
+                    + p[0].c1.v.to_bytes(48, "little")
+                    + p[1].c0.v.to_bytes(48, "little")
+                    + p[1].c1.v.to_bytes(48, "little") + b"\x00")
+        sb += (s % bls.R).to_bytes(32, "little")
+    out = ctypes.create_string_buffer(193)
+    lib.pm_g2_msm(buf, sb, len(points), out)
+    raw = out.raw
+    if raw[192]:
+        return None
+    x = bls.Fq2(bls.Fq(int.from_bytes(raw[:48], "little")),
+                bls.Fq(int.from_bytes(raw[48:96], "little")))
+    y = bls.Fq2(bls.Fq(int.from_bytes(raw[96:144], "little")),
+                bls.Fq(int.from_bytes(raw[144:192], "little")))
+    return (x, y)

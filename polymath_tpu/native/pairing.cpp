@@ -349,6 +349,105 @@ static Fq12 line_and_add(PtFq12& T, const PtFq12& Qp, const Fq12& xP,
 
 }  // namespace
 
+// -- G1/G2 Jacobian arithmetic for the verifier's tiny MSMs ------------------
+// (reference verifier.rs:44-48: a 3-term G1 and a 2-term G2 MSM per verify;
+// the pure-Python double-and-add cost ~55 ms of the r4 verify's 83 ms)
+
+struct PtG1 { Fq x, y, z; };   // z == 0 encodes infinity
+struct PtG2 { Fq2 x, y, z; };
+
+static PtG1 g1_dbl(const PtG1& p) {
+    if (fq_is_zero(p.z)) return p;
+    Fq a = fq_mul(p.x, p.x);
+    Fq b = fq_mul(p.y, p.y);
+    Fq c = fq_mul(b, b);
+    Fq t = fq_add(p.x, b);
+    Fq d = fq_sub(fq_sub(fq_mul(t, t), a), c);
+    d = fq_add(d, d);
+    Fq e = fq_add(fq_add(a, a), a);
+    Fq f = fq_mul(e, e);
+    PtG1 r;
+    r.x = fq_sub(f, fq_add(d, d));
+    Fq c8 = fq_add(c, c); c8 = fq_add(c8, c8); c8 = fq_add(c8, c8);
+    r.y = fq_sub(fq_mul(e, fq_sub(d, r.x)), c8);
+    r.z = fq_mul(fq_add(p.y, p.y), p.z);
+    return r;
+}
+
+static PtG1 g1_add(const PtG1& p, const PtG1& q) {
+    if (fq_is_zero(p.z)) return q;
+    if (fq_is_zero(q.z)) return p;
+    Fq z1z1 = fq_mul(p.z, p.z);
+    Fq z2z2 = fq_mul(q.z, q.z);
+    Fq u1 = fq_mul(p.x, z2z2);
+    Fq u2 = fq_mul(q.x, z1z1);
+    Fq s1 = fq_mul(fq_mul(p.y, q.z), z2z2);
+    Fq s2 = fq_mul(fq_mul(q.y, p.z), z1z1);
+    if (fq_eq(u1, u2)) {
+        if (fq_eq(s1, s2)) return g1_dbl(p);
+        PtG1 r; r.x = fq_one(); r.y = fq_one(); r.z = fq_zero();
+        return r;
+    }
+    Fq h = fq_sub(u2, u1);
+    Fq i = fq_add(h, h); i = fq_mul(i, i);
+    Fq j = fq_mul(h, i);
+    Fq rr = fq_sub(s2, s1); rr = fq_add(rr, rr);
+    Fq v = fq_mul(u1, i);
+    PtG1 r;
+    r.x = fq_sub(fq_sub(fq_mul(rr, rr), j), fq_add(v, v));
+    Fq s1j = fq_mul(s1, j);
+    r.y = fq_sub(fq_mul(rr, fq_sub(v, r.x)), fq_add(s1j, s1j));
+    Fq zz = fq_sub(fq_sub(fq_mul(fq_add(p.z, q.z), fq_add(p.z, q.z)), z1z1), z2z2);
+    r.z = fq_mul(zz, h);
+    return r;
+}
+
+static PtG2 g2_dbl(const PtG2& p) {
+    if (f2_is_zero(p.z)) return p;
+    Fq2 a = f2_mul(p.x, p.x);
+    Fq2 b = f2_mul(p.y, p.y);
+    Fq2 c = f2_mul(b, b);
+    Fq2 t = f2_add(p.x, b);
+    Fq2 d = f2_sub(f2_sub(f2_mul(t, t), a), c);
+    d = f2_add(d, d);
+    Fq2 e = f2_add(f2_add(a, a), a);
+    Fq2 f = f2_mul(e, e);
+    PtG2 r;
+    r.x = f2_sub(f, f2_add(d, d));
+    Fq2 c8 = f2_add(c, c); c8 = f2_add(c8, c8); c8 = f2_add(c8, c8);
+    r.y = f2_sub(f2_mul(e, f2_sub(d, r.x)), c8);
+    r.z = f2_mul(f2_add(p.y, p.y), p.z);
+    return r;
+}
+
+static PtG2 g2_add(const PtG2& p, const PtG2& q) {
+    if (f2_is_zero(p.z)) return q;
+    if (f2_is_zero(q.z)) return p;
+    Fq2 z1z1 = f2_mul(p.z, p.z);
+    Fq2 z2z2 = f2_mul(q.z, q.z);
+    Fq2 u1 = f2_mul(p.x, z2z2);
+    Fq2 u2 = f2_mul(q.x, z1z1);
+    Fq2 s1 = f2_mul(f2_mul(p.y, q.z), z2z2);
+    Fq2 s2 = f2_mul(f2_mul(q.y, p.z), z1z1);
+    if (f2_eq(u1, u2)) {
+        if (f2_eq(s1, s2)) return g2_dbl(p);
+        PtG2 r; r.x = f2_one(); r.y = f2_one(); r.z = f2_zero();
+        return r;
+    }
+    Fq2 h = f2_sub(u2, u1);
+    Fq2 i = f2_add(h, h); i = f2_mul(i, i);
+    Fq2 j = f2_mul(h, i);
+    Fq2 rr = f2_sub(s2, s1); rr = f2_add(rr, rr);
+    Fq2 v = f2_mul(u1, i);
+    PtG2 r;
+    r.x = f2_sub(f2_sub(f2_mul(rr, rr), j), f2_add(v, v));
+    Fq2 s1j = f2_mul(s1, j);
+    r.y = f2_sub(f2_mul(rr, f2_sub(v, r.x)), f2_add(s1j, s1j));
+    Fq2 zz = f2_sub(f2_sub(f2_mul(f2_add(p.z, q.z), f2_add(p.z, q.z)), z1z1), z2z2);
+    r.z = f2_mul(zz, h);
+    return r;
+}
+
 extern "C" {
 
 // All field element I/O is canonical little-endian 48-byte Fq values.
@@ -363,6 +462,89 @@ static Fq fq_from_bytes(const uint8_t* b) {
     Fq r2;
     std::memcpy(r2.v, R2, 48);
     return fq_mul(raw, r2);  // to Montgomery
+}
+
+static void fq_to_bytes(const Fq& a, uint8_t* out) {
+    Fq one_raw;
+    std::memset(one_raw.v, 0, sizeof(one_raw.v));
+    one_raw.v[0] = 1;
+    Fq canon = fq_mul(a, one_raw);  // from Montgomery
+    std::memcpy(out, canon.v, 48);
+}
+
+// MSM over count G1 points (97 B each: x||y canonical LE + inf byte) and
+// count 32-byte LE scalars; writes the affine result in the same format.
+int pm_g1_msm(const uint8_t* pts, const uint8_t* scalars, int count,
+              uint8_t* out) {
+    PtG1 acc; acc.x = fq_one(); acc.y = fq_one(); acc.z = fq_zero();
+    for (int i = 0; i < count; i++) {
+        const uint8_t* p = pts + 97 * i;
+        if (p[96]) continue;
+        PtG1 base;
+        base.x = fq_from_bytes(p);
+        base.y = fq_from_bytes(p + 48);
+        base.z = fq_one();
+        const uint8_t* s = scalars + 32 * i;
+        int top = 255;
+        while (top >= 0 && !((s[top >> 3] >> (top & 7)) & 1)) top--;
+        if (top < 0) continue;
+        PtG1 r = base;
+        for (int bit = top - 1; bit >= 0; bit--) {
+            r = g1_dbl(r);
+            if ((s[bit >> 3] >> (bit & 7)) & 1) r = g1_add(r, base);
+        }
+        acc = g1_add(acc, r);
+    }
+    if (fq_is_zero(acc.z)) {
+        std::memset(out, 0, 96);
+        out[96] = 1;
+        return 1;
+    }
+    Fq zi = fq_inv(acc.z);
+    Fq zi2 = fq_mul(zi, zi);
+    fq_to_bytes(fq_mul(acc.x, zi2), out);
+    fq_to_bytes(fq_mul(fq_mul(acc.y, zi2), zi), out + 48);
+    out[96] = 0;
+    return 1;
+}
+
+// Same for G2 (193 B points: x.c0||x.c1||y.c0||y.c1 + inf byte).
+int pm_g2_msm(const uint8_t* pts, const uint8_t* scalars, int count,
+              uint8_t* out) {
+    PtG2 acc; acc.x = f2_one(); acc.y = f2_one(); acc.z = f2_zero();
+    for (int i = 0; i < count; i++) {
+        const uint8_t* p = pts + 193 * i;
+        if (p[192]) continue;
+        PtG2 base;
+        base.x = {fq_from_bytes(p), fq_from_bytes(p + 48)};
+        base.y = {fq_from_bytes(p + 96), fq_from_bytes(p + 144)};
+        base.z = f2_one();
+        const uint8_t* s = scalars + 32 * i;
+        int top = 255;
+        while (top >= 0 && !((s[top >> 3] >> (top & 7)) & 1)) top--;
+        if (top < 0) continue;
+        PtG2 r = base;
+        for (int bit = top - 1; bit >= 0; bit--) {
+            r = g2_dbl(r);
+            if ((s[bit >> 3] >> (bit & 7)) & 1) r = g2_add(r, base);
+        }
+        acc = g2_add(acc, r);
+    }
+    if (f2_is_zero(acc.z)) {
+        std::memset(out, 0, 192);
+        out[192] = 1;
+        return 1;
+    }
+    Fq2 zi = f2_inv(acc.z);
+    Fq2 zi2 = f2_mul(zi, zi);
+    Fq2 ax = f2_mul(acc.x, zi2);
+    Fq2 ay = f2_mul(f2_mul(acc.y, zi2), zi);
+    fq_to_bytes(ax.c0, out);
+    fq_to_bytes(ax.c1, out + 48);
+    fq_to_bytes(ay.c0, out + 96);
+    fq_to_bytes(ay.c1, out + 144);
+    out[192] = 0;
+    return 1;
 }
 
 int pm_multi_pairing_is_one(

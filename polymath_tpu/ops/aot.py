@@ -16,8 +16,10 @@ AOT-compiled by construction); this is the TPU-native equivalent of
 `cargo build --release` artifacts.
 
 Env knobs:
-  POLYMATH_AOT=0        disable (fall back to plain jax.jit)
-  POLYMATH_AOT_DIR=...  override the store directory
+  POLYMATH_AOT=0          disable (fall back to plain jax.jit)
+  POLYMATH_AOT_DIR=...    override the store directory
+  POLYMATH_AOT_MAX_MB=N   skip persisting executables whose generated
+                          code exceeds N MB (default 1200)
 """
 
 from __future__ import annotations
@@ -39,13 +41,13 @@ def enabled() -> bool:
     env = os.environ.get("POLYMATH_AOT", "")
     if env in ("0", "off", "false"):
         return False
-    if env in ("1", "on", "true"):
-        return True
-    # default: TPU only.  On XLA:CPU (tests, dryrun) tracing is cheap (no
-    # Mosaic lowering) and the persistent compilation cache already loads
-    # fine; the store would only add noisy cpu_aot_loader feature spam.
-    from ..utils.config import on_tpu
-    return on_tpu()
+    # default: all backends.  On TPU the store removes trace + Mosaic
+    # lowering (~minutes per program class); on XLA:CPU it removes the
+    # LLVM compiles that made the r4 multichip dryrun and the test suite
+    # overrun the driver clock.  The one known CPU hazard — a segfault in
+    # executable.serialize() on a >2 GB program — is handled by the
+    # generated-code-size guard in _load_or_build.
+    return True
 
 
 def _backend_key() -> str:
@@ -129,6 +131,19 @@ class AotFn:
         t2 = time.time()
         _log(f"{self._name}-{sig}: traced+lowered {t1-t0:.1f}s, "
              f"compiled {t2-t1:.1f}s")
+        # Predictive size guard: XLA's C++ serialize() SEGFAULTS (not
+        # raises) past the 2 GB protobuf ceiling (reproduced r4 on the
+        # MiMC device-e2e d-MSM CPU program), so the skip must happen
+        # before the call.
+        try:
+            gcs = comp.memory_analysis().generated_code_size_in_bytes
+        except Exception:
+            gcs = 0
+        max_b = float(os.environ.get("POLYMATH_AOT_MAX_MB", "1200")) * 1e6
+        if gcs and gcs > max_b:
+            _log(f"{self._name}-{sig}: not persisted (generated code "
+                 f"{gcs/1e6:.0f} MB > {max_b/1e6:.0f} MB guard)")
+            return comp
         try:
             payload, in_tree, out_tree = se.serialize(comp)
             tmp = f"{path}.tmp.{os.getpid()}"

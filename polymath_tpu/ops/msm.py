@@ -51,7 +51,9 @@ from .curve_jax import (
 )
 
 SCALAR_BITS = 255
-_MSM_REV = "r3"  # traced-graph revision (see _msm_run_jit)
+_MSM_REV = "r5"  # traced-graph revision (see _msm_run_jit)
+PTS_PER_QUAD = 4       # packed points per 128-lane gather-table row
+_GATHER_BLK = 1024     # pallas_gather.BLK (import-free copy; asserted below)
 
 
 def _rowscan_mode() -> str:
@@ -134,13 +136,18 @@ def _scan_local_madd(px, py, seq: int, fast: bool):
 
 
 def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
-               seq: int | None = None):
+               seq: int | None = None, rowscan: str | None = None,
+               table_quads=None):
     """One chunk: (L/2, n) 16-bit-packed affine limbs + (16, n) canonical
     scalars -> (jacobian window sums with trailing axis `windows`,
-    err bool|None)."""
-    n = xs.shape[-1]
+    err bool|None).
+
+    When ``table_quads`` is given (TPU path) it replaces xs/ys: a
+    (n/4 + 1, 128) quad-row point table (4 packed 24-u32 xy rows per
+    128-lane row, last row the zero sentinel) consumed by the Pallas
+    VMEM gather kernel."""
+    n = scalars.shape[-1]
     seq = min(seq or _scan_seq(), n)
-    Lh = xs.shape[0]                                 # L/2 packed rows
     digits = _digits(scalars, c, windows)            # (W, n)
     order = jnp.argsort(-digits, axis=-1)            # descending per window
     d_sorted = jnp.take_along_axis(digits, order, axis=-1)
@@ -150,12 +157,20 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
     # leaves (digit 0) redirect to a zero sentinel row instead of a
     # full-size where() (saves a ~0.5 GB masked copy per chunk): (0, 0)
     # is the affine identity encoding.
-    xy_rows = jnp.concatenate([xs, ys], axis=0).T    # (n, L)
-    xy_ext = jnp.concatenate(
-        [xy_rows, jnp.zeros((1, 2 * Lh), jnp.uint32)], axis=0)
     idx = jnp.where(live, order, n)                  # (W, n)
-    g = xy_ext[idx.reshape(-1)]                      # (W*n, L)
-    g = jnp.moveaxis(g.reshape(windows, n, 2 * Lh), -1, 0)  # (L, W, n)
+    if table_quads is not None:
+        # VMEM-table Pallas gather emits limb-major (L, W, n) directly
+        # (13 ns/row vs the XLA gather's ~23 ns/row + relayout)
+        from .pallas_gather import gather_rows_quads
+        g = gather_rows_quads(table_quads, idx)          # (L, W, n)
+    else:
+        Lh = xs.shape[0]                                 # L/2 packed rows
+        xy_rows = jnp.concatenate([xs, ys], axis=0).T    # (n, L)
+        xy_ext = jnp.concatenate(
+            [xy_rows, jnp.zeros((1, 2 * Lh), jnp.uint32)], axis=0)
+        g = xy_ext[idx.reshape(-1)]                      # (W*n, L)
+        g = jnp.moveaxis(g.reshape(windows, n, 2 * Lh), -1, 0)  # (L, W, n)
+    Lh = g.shape[0] // 2
     pad = (-n) % seq
     if pad:
         # pad with dead identity leaves (digit 0 at the tail keeps the
@@ -170,7 +185,7 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
     local, totals, err = _scan_local_madd(px, py, seq, fast)
     rows = n // seq
     if rows > 1:
-        if _rowscan_mode() == "tree":
+        if (rowscan or _rowscan_mode()) == "tree":
             row_ps = prefix_scan_jac_tree(totals)    # (L, W, rows) inclusive
         else:
             row_ps = prefix_scan_jac(totals)
@@ -210,16 +225,33 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
 
 
 def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
-             fast: bool, mont: bool, seq: int):
+             fast: bool, mont: bool, seq: int, rowscan: str,
+             pallas_gather: bool):
     """Whole MSM inside one trace: fori_loop over fixed-size chunks."""
     if mont:
         sc = FR.from_mont(sc)
 
+    quads = None
+    if pallas_gather:
+        # one row-major relayout of the used prefix per MSM (a few ms,
+        # amortized over all chunks) so each chunk's gather table is a
+        # plain quad-row slice — no per-chunk transpose
+        lim = n_chunks * chunk
+        rows = jnp.concatenate([xs[:, :lim], ys[:, :lim]], axis=0).T
+        quads = rows.reshape(lim // PTS_PER_QUAD,
+                             PTS_PER_QUAD * rows.shape[-1])
+
     def one(k):
+        sc_k = jax.lax.dynamic_slice_in_dim(sc, k * chunk, chunk, 1)
+        if quads is not None:
+            q = chunk // PTS_PER_QUAD
+            tq = jax.lax.dynamic_slice_in_dim(quads, k * q, q, 0)
+            tq = jnp.pad(tq, ((0, 1), (0, 128 - tq.shape[-1])))
+            return _msm_chunk(None, None, sc_k, c, windows, fast, seq,
+                              rowscan, table_quads=tq)
         xs_k = jax.lax.dynamic_slice_in_dim(xs, k * chunk, chunk, 1)
         ys_k = jax.lax.dynamic_slice_in_dim(ys, k * chunk, chunk, 1)
-        sc_k = jax.lax.dynamic_slice_in_dim(sc, k * chunk, chunk, 1)
-        return _msm_chunk(xs_k, ys_k, sc_k, c, windows, fast, seq)
+        return _msm_chunk(xs_k, ys_k, sc_k, c, windows, fast, seq, rowscan)
 
     if n_chunks == 1:
         wsum, err = one(0)
@@ -243,24 +275,26 @@ def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
 
 @lru_cache(maxsize=None)
 def _msm_run_jit(chunk: int, n_chunks: int, c: int, windows: int,
-                 fast: bool, mont: bool, seq: int):
+                 fast: bool, mont: bool, seq: int, rowscan: str,
+                 pallas_gather: bool):
     # inputs arrive pre-padded to n_chunks*chunk (msm_device), so the
     # program key is exactly (chunk, n_chunks, ...) — the prover's MSM
     # sizes {n, n+1, cols-m0, n-1, 10n+22} collapse to ~3 compiled
     # programs instead of one per exact length
     def run(xs, ys, sc):
         wsum, err = _msm_run(xs, ys, sc, chunk, n_chunks, c, windows,
-                             fast, mont, seq)
+                             fast, mont, seq, rowscan, pallas_gather)
         return jnp.stack(wsum), err
     from .aot import aot_jit
     # _MSM_REV: bump on any change to the traced MSM graph — the AOT store
     # keys on name+avals, not graph content, and would reuse stale
-    # executables otherwise.  Env-selected graph variants (rowscan) must
-    # appear in the name for the same reason.
+    # executables otherwise.  Graph variants selected by env/config
+    # (rowscan, gather path) are explicit parameters here so they key
+    # both this memo and the AOT name (r4 advisor finding).
     return aot_jit(run, f"msm-{_MSM_REV}-{chunk}x{n_chunks}-c{c}w{windows}-"
                         f"{'fast' if fast else 'safe'}-"
                         f"{'mont' if mont else 'canon'}-s{seq}-"
-                        f"{_rowscan_mode()}")
+                        f"{rowscan}{'-pg' if pallas_gather else ''}")
 
 
 def _horner_windows_host(wsums, c: int, windows: int):
@@ -284,16 +318,17 @@ def _default_chunk() -> int:
     Larger chunks amortize the per-chunk costs that do NOT scale with
     points (threshold gather + window fold are W*2^c each, the row-offset
     recursion is launch-bound) over more points, at the price of larger
-    scan transients in HBM (~5.5 KB/point at c=14).  2^18 is safe
-    everywhere; 2^19 measured faster at bench scale and still inside the
-    16 GB budget.  Pre-padded SRS vectors stored at a different grain are
-    re-padded device-side once per process (DeviceArtifacts)."""
+    scan transients in HBM (~5.5 KB/point at c=14).  2^18 measured
+    FASTER than 2^19 in r4 (0.884 vs 0.605 Mpts/s at c<=13 — the XLA
+    row gather degraded with table size); re-sweep after gather/scan
+    kernel changes before moving this."""
     import os
     return int(os.environ.get("POLYMATH_MSM_CHUNK", DEFAULT_CHUNK))
 
 
 DEFAULT_CHUNK = 1 << 18
 MIN_CHUNK = 1 << 6  # CPU floor: small programs compile fast on XLA:CPU
+CPU_MAX_CHUNK = 1 << 12
 
 
 def msm_device(xs, ys, scalars, chunk: int | None = None,
@@ -328,8 +363,12 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
             # compile; a mostly-dead trailing chunk costs ~0.2 s of VPU)
             chunk = _default_chunk()
         else:
-            # CPU (tests/small circuits): pad less, compile small
-            chunk = min(DEFAULT_CHUNK,
+            # CPU (tests/small circuits): pad less, compile small.  The
+            # 2^12 cap keeps every XLA:CPU MSM program under the
+            # serialize ceiling (the r4 MiMC d-MSM program at chunk 2^14
+            # hit the >2 GB segfault) and collapses the suite's MSM
+            # shapes onto a couple of shared classes.
+            chunk = min(CPU_MAX_CHUNK,
                         max(MIN_CHUNK, 1 << (n - 1).bit_length()))
     m = min(scalars.shape[-1], n)
     # Tiny-tail split: the protocol's MSM sizes sit a handful of points
@@ -368,8 +407,13 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
         xs = jnp.concatenate([xs, z24], axis=1)
         ys = jnp.concatenate([ys, z24], axis=1)
     c, windows = _window_params(chunk)
+    from ..utils.config import use_pallas
+    pg = bool(use_pallas()
+              and chunk % (PTS_PER_QUAD * _GATHER_BLK) == 0
+              and (windows * chunk) % _GATHER_BLK == 0)
     wsums, err = _msm_run_jit(chunk, n_chunks, c, windows, fast, mont,
-                              min(_scan_seq(), chunk))(xs, ys, scalars)
+                              min(_scan_seq(), chunk), _rowscan_mode(),
+                              pg)(xs, ys, scalars)
     if fast:
         assert not bool(err), (
             "MSM madd collision: repeated base point hit the fast-mode "

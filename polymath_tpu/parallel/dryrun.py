@@ -58,16 +58,21 @@ def run_sharded_check(mesh, n: int | None = None, pts_per_dev: int = 8,
     # Two jits, not one: XLA:CPU compile time is superlinear in module
     # size (one fused step measured >560 s of compile on a 2-core host;
     # the halves compile in a fraction of that and cache independently).
-    @jax.jit
-    def ntt_step(a):
+    # Both go through the AOT executable store so a fresh driver process
+    # deserializes instead of recompiling (r4: rc=124 on exactly this).
+    from ..ops.aot import aot_jit
+
+    def _ntt_step(a):
         evals = ntt_sharded(a, mesh)                        # all_to_all x2
         back = ntt_sharded(evals, mesh, inverse=True)       # all_to_all x2
         return evals, back
 
-    @jax.jit
-    def msm_step(xs, ys, sc):
+    def _msm_step(xs, ys, sc):
         _, wsums = msm_sharded_partials(xs, ys, sc, mesh)   # all_gather
         return wsums
+
+    ntt_step = aot_jit(_ntt_step, f"dryrun-ntt-{n}-d{n_devices}")
+    msm_step = aot_jit(_msm_step, f"dryrun-msm-{npts}-d{n_devices}")
 
     c, windows = _window_params(npts // n_devices)
     evals, back = ntt_step(a)
@@ -103,7 +108,10 @@ def run_sharded_prove(mesh, rounds: int = 15, seed: int = 3) -> None:
     xl, xr = crng.randrange(R), crng.randrange(R)
     image = mimc_hash(xl, xr, consts)
 
-    pm = Polymath(transcript=MerlinFieldTranscript, backend="jax")
+    # setup via the host generator: at n = 64 it is sub-second pure
+    # Python and compiles NOTHING, vs the device generator's several
+    # XLA:CPU program classes on the virtual mesh (r4 driver-clock cost)
+    pm = Polymath(transcript=MerlinFieldTranscript, backend="host")
     pk, vk = pm.setup(MiMCDemo(constants=consts), Rng(seed))
     proof = create_proof_sharded(
         MiMCDemo(xl, xr, consts), pk, Rng(seed + 1),

@@ -41,18 +41,25 @@ from .ntt_sharded import ntt_sharded
 from .msm_sharded import msm_sharded_partials
 
 
-def _msm_mesh(xy, scalars_mont, mesh, n_eff: int):
+def _msm_mesh(xy, scalars_mont, mesh, n_eff: int, pad_to: int | None = None):
     """Sharded MSM over (24, N >= n_eff) affine limbs and Montgomery
-    scalars; pads to a mesh multiple with zero scalars / identity points."""
+    scalars; pads to a mesh multiple with zero scalars / identity points.
+
+    ``pad_to`` forces a common padded size so every MSM of a proof maps
+    onto ONE compiled program class (zero digits are inert; the cost of
+    the over-padding is negligible at dryrun scale, and at real scale the
+    per-device chunks stream anyway).  Without it the r4 dryrun compiled
+    a separate XLA:CPU class per MSM length — a large share of its
+    driver-clock overrun."""
     d = mesh.devices.size
     xs, ys = xy
     sc = _from_mont_jit()(scalars_mont[:, :n_eff])
     n = sc.shape[-1]
-    pad = (-n) % d
-    if pad:
+    npts = pad_to if pad_to is not None else n + ((-n) % d)
+    assert npts % d == 0 and npts >= n
+    if npts > n:
         sc = jnp.concatenate(
-            [sc, jnp.zeros((sc.shape[0], pad), jnp.uint32)], axis=1)
-    npts = n + pad
+            [sc, jnp.zeros((sc.shape[0], npts - n), jnp.uint32)], axis=1)
     if xs.shape[-1] < npts:
         extra = npts - xs.shape[-1]
         z = jnp.zeros((xs.shape[0], extra), jnp.uint32)
@@ -60,13 +67,24 @@ def _msm_mesh(xy, scalars_mont, mesh, n_eff: int):
         ys = jnp.concatenate([ys, z], axis=1)
     else:
         xs, ys = xs[:, :npts], ys[:, :npts]
-    (c, windows), wsums = msm_sharded_partials(xs, ys, sc, mesh)
-    return _horner_windows_host(wsums, c, windows)
+    c, windows = _window_params(npts // d)
+    wsums = _msm_mesh_jit(mesh, npts)(xs, ys, sc)
+    return _horner_windows_host(tuple(wsums), c, windows)
+
+
+@lru_cache(maxsize=None)
+def _msm_mesh_jit(mesh, npts: int):
+    def run(xs, ys, sc):
+        _, ws = msm_sharded_partials(xs, ys, sc, mesh)
+        return jnp.stack(ws)
+    from ..ops.aot import aot_jit
+    return aot_jit(run, f"msmsh-{npts}-d{mesh.devices.size}")
 
 
 @lru_cache(maxsize=None)
 def _from_mont_jit():
-    return jax.jit(FR.from_mont)
+    from ..ops.aot import aot_jit
+    return aot_jit(FR.from_mont, "from_mont")
 
 
 @lru_cache(maxsize=None)
@@ -127,7 +145,10 @@ def _stage1_sharded_jit(n: int, m0: int, m: int, n_r: int, cols: int,
         return dict(z=z, u_coeffs=u_coeffs, w_coeffs=w_coeffs, h_num=h_num,
                     wu_coeffs=wu_coeffs, vanish_rem_nz=vanish_rem_nz)
 
-    return jax.jit(stage1)
+    from ..ops.aot import aot_jit
+    return aot_jit(stage1,
+                   f"stage1sh-{n}-{m0}-{m}-{n_r}-{cols}-{na}-{nb}-{nc}"
+                   f"-d{mesh.devices.size}")
 
 
 def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
@@ -155,8 +176,14 @@ def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
 
     ra0_i, ra1_i = rng.randrange(R), rng.randrange(R)
 
+    # one padded size for every sharded MSM of the proof -> one compiled
+    # program class (see _msm_mesh)
+    d_len = 2 * (n - 1) + sigma * (MINUS_ALPHA + MINUS_GAMMA) + 1
+    d = mesh.devices.size
+    pad_to = d_len - 1 + ((-(d_len - 1)) % d)
+
     xp = art.srs["x_powers_g1"]
-    a_u = _msm_mesh(xp, s1["u_coeffs"], mesh, n)
+    a_u = _msm_mesh(xp, s1["u_coeffs"], mesh, n, pad_to)
     a_ra = bls.G1.msm(pk.x_powers_y_alpha_g1, [ra0_i, ra1_i])
     a_g1 = bls.G1.add(a_u, a_ra)
 
@@ -165,7 +192,7 @@ def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
     u_lo = jnp.concatenate([s1["u_coeffs"], FR.zeros((1,))], axis=1)
     u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
     two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
-    r_big = _msm_mesh(xp, two_ra_u, mesh, n + 1)
+    r_big = _msm_mesh(xp, two_ra_u, mesh, n + 1, pad_to)
     ra_sq = [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R, ra1_i * ra1_i % R]
     r_small = bls.G1.add(
         bls.G1.msm(pk.x_powers_y_alpha_g1, ra_sq),
@@ -173,9 +200,9 @@ def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
     r_g1 = bls.G1.add(r_big, r_small)
 
     ujwj = art.srs["uj_wj_lcs_by_y_alpha_g1"]
-    c_w = _msm_mesh(ujwj, s1["z"][:, m0:], mesh, cols - m0)
+    c_w = _msm_mesh(ujwj, s1["z"][:, m0:], mesh, cols - m0, pad_to)
     zh = art.srs["x_powers_zh_by_y_alpha_g1"]
-    c_h = _msm_mesh(zh, s1["h_num"][:, n:2 * n - 1], mesh, n - 1)
+    c_h = _msm_mesh(zh, s1["h_num"][:, n:2 * n - 1], mesh, n - 1, pad_to)
     c_g1 = bls.G1.add(bls.G1.add(c_w, c_h), r_g1)
 
     t = transcript_cls(common.B_POLYMATH)
@@ -191,7 +218,6 @@ def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
 
     x2 = common.compute_x2(t, x1, [a_at_x1, c_at_x1])
 
-    d_len = 2 * (n - 1) + sigma * (MINUS_ALPHA + MINUS_GAMMA) + 1
     eval_sum = mont_scalar((a_at_x1 + x2 * c_at_x1) % R)
     x1_m = mont_scalar(x1)
     dnum = _stage2_jit(n, sigma, d_len)(
@@ -203,6 +229,6 @@ def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
         "quotient division by (X - x1) must be exact"
 
     ygz = art.srs["x_powers_y_gamma_z_g1"]
-    d_g1 = _msm_mesh(ygz, q_mont, mesh, d_len - 1)
+    d_g1 = _msm_mesh(ygz, q_mont, mesh, d_len - 1, pad_to)
 
     return Proof(a_g1=a_g1, c_g1=c_g1, a_at_x1=a_at_x1, d_g1=d_g1)

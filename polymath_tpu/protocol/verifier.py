@@ -23,13 +23,13 @@ def verify_proof(vk, proof, public_inputs, transcript_cls) -> bool:
     c_at_x1 = common.compute_c_at_x1(y1_gamma, y1_alpha, proof.a_at_x1, pi_at_x1)
     x2 = common.compute_x2(t, x1, [proof.a_at_x1, c_at_x1])
 
-    commitments_minus_evals = bls.G1.msm(
+    from ..native import multi_pairing_is_one, g1_msm, g2_msm
+    commitments_minus_evals = g1_msm(
         [proof.a_g1, proof.c_g1, vk.e.one_g1],
         [1, x2, (-(proof.a_at_x1 + x2 * c_at_x1)) % R],
     )
-    x_minus_x1_g2 = bls.G2.msm([vk.e.x_g2, vk.e.one_g2], [1, (-x1) % R])
+    x_minus_x1_g2 = g2_msm([vk.e.x_g2, vk.e.one_g2], [1, (-x1) % R])
 
-    from ..native import multi_pairing_is_one
     return multi_pairing_is_one(
         [commitments_minus_evals, bls.G1.neg(proof.d_g1)],
         [vk.e.z_g2, x_minus_x1_g2],

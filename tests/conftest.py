@@ -35,8 +35,10 @@ try:
         pass
     # The env var above is NOT picked up here: the axon sitecustomize
     # imports jax at interpreter start, before conftest runs, so the
-    # config default was already captured.  Set it explicitly.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                      100000.0)
+    # config default was already captured.  Set it explicitly — using the
+    # env value, so an explicit user override still wins.
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
 except ImportError:
     pass

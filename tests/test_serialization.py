@@ -72,3 +72,51 @@ def test_g1_generator_known_bytes():
     # y of the standard generator is the "negative" (smaller) root
     expected_flag = 0x80 if G1.gen[1].is_positive() else 0x00
     assert (b[-1] & 0xC0) == expected_flag
+
+
+# -- external cross-implementation vectors ----------------------------------
+# The zkcrypto/IETF-draft BLS12-381 generator encodings (big-endian x with
+# flag bits in the FIRST byte: 0x80 compressed, 0x40 infinity, 0x20 y
+# lexicographically largest).  arkworks -- and this codec, which must be
+# byte-compatible with it for Fiat-Shamir (reference macro.rs:7-12,
+# data_structures.rs:25-34) -- serializes the same x little-endian with its
+# flags in the LAST byte.  For the generators (whose y is the smaller
+# root: both sign flags 0), the two encodings are exact byte reversals up
+# to zkcrypto's always-set compression bit.  Source of the constants:
+# zkcrypto/bls12_381 documentation / IETF hash-to-curve draft suites.
+ZKCRYPTO_G1_GEN = bytes.fromhex(
+    "97f1d3a73197d7942695638c4fa9ac0fc3688c4f9774b905a14e3a3f171bac58"
+    "6c55e83ff97a1aeffb3af00adb22c6bb")
+ZKCRYPTO_G2_GEN = bytes.fromhex(
+    "93e02b6052719f607dacd3a088274f65596bd0d09920b61ab5da61bbdc7f5049"
+    "334cf11213945d57e5ac7d055d042b7e024aa2b2f08f0a91260805272dc51051"
+    "c6e47ad4fa403b02b4510b647ae3d1770bac0326a805bbefd48056c8c121bdb8")
+
+
+def test_g1_generator_external_vector():
+    ours = codec.g1_to_bytes(G1.gen)
+    rev = ours[::-1]
+    assert rev[1:] == ZKCRYPTO_G1_GEN[1:]
+    assert rev[0] | 0x80 == ZKCRYPTO_G1_GEN[0]
+    # independent decode of the external bytes reproduces our x constant
+    x = int.from_bytes(
+        bytes([ZKCRYPTO_G1_GEN[0] & 0x1F]) + ZKCRYPTO_G1_GEN[1:], "big")
+    assert x == G1.gen[0].v
+
+
+def test_g2_generator_external_vector():
+    """Closes the r3/r4 gap: an external-source vector through the
+    96-byte compressed G2 codec (the three VK G2 points feed the pairing
+    check, reference data_structures.rs:25-34)."""
+    ours = codec.g2_to_bytes(G2.gen)
+    assert len(ours) == 96
+    rev = ours[::-1]
+    assert rev[1:] == ZKCRYPTO_G2_GEN[1:]
+    assert rev[0] | 0x80 == ZKCRYPTO_G2_GEN[0]
+    # independent decode: zkcrypto G2 x = BE(c1) || BE(c0)
+    x_c1 = int.from_bytes(
+        bytes([ZKCRYPTO_G2_GEN[0] & 0x1F]) + ZKCRYPTO_G2_GEN[1:48], "big")
+    x_c0 = int.from_bytes(ZKCRYPTO_G2_GEN[48:], "big")
+    assert x_c0 == G2.gen[0].c0.v and x_c1 == G2.gen[0].c1.v
+    # and our codec round-trips the externally-anchored point
+    assert codec.g2_from_bytes(ours, validate=True) == G2.gen
