@@ -41,13 +41,16 @@ def enabled() -> bool:
     env = os.environ.get("POLYMATH_AOT", "")
     if env in ("0", "off", "false"):
         return False
-    # default: all backends.  On TPU the store removes trace + Mosaic
-    # lowering (~minutes per program class); on XLA:CPU it removes the
-    # LLVM compiles that made the r4 multichip dryrun and the test suite
-    # overrun the driver clock.  The one known CPU hazard — a segfault in
-    # executable.serialize() on a >2 GB program — is handled by the
-    # generated-code-size guard in _load_or_build.
-    return True
+    if env in ("1", "on", "true"):
+        return True
+    # default: TPU only.  XLA:CPU executables do NOT survive a
+    # serialize/deserialize round-trip in this jax (r5 repro: execute
+    # after load fails with "Function broadcast_add_fusion not found";
+    # with default execution_devices it instead mis-loads single-device
+    # programs as 8-shard on the virtual test mesh).  CPU re-runs rely on
+    # the persistent compilation cache, which skips the LLVM compiles.
+    from ..utils.config import on_tpu
+    return on_tpu()
 
 
 def _backend_key() -> str:
@@ -117,8 +120,18 @@ class AotFn:
             t0 = time.time()
             try:
                 with open(path, "rb") as fh:
-                    payload, in_tree, out_tree = pickle.load(fh)
-                exe = se.deserialize_and_load(payload, in_tree, out_tree)
+                    rec = pickle.load(fh)
+                if len(rec) == 4:
+                    payload, in_tree, out_tree, ndev = rec
+                else:  # r4 entries (TPU, single-device)
+                    payload, in_tree, out_tree = rec
+                    ndev = 1
+                # execution_devices defaults to ALL devices, which breaks
+                # single-device programs on a multi-device backend (the
+                # 8-virtual-CPU mesh): pass the span recorded at save time
+                exe = se.deserialize_and_load(
+                    payload, in_tree, out_tree,
+                    execution_devices=jax.devices()[:ndev])
                 _log(f"{self._name}-{sig}: deserialized in "
                      f"{time.time()-t0:.2f}s ({len(payload)/1e6:.1f} MB)")
                 return exe
@@ -146,11 +159,16 @@ class AotFn:
             return comp
         try:
             payload, in_tree, out_tree = se.serialize(comp)
+            try:
+                ndev = len(comp.runtime_executable().local_devices())
+            except Exception:
+                ndev = len(jax.devices())
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "wb") as fh:
-                pickle.dump((payload, in_tree, out_tree), fh)
+                pickle.dump((payload, in_tree, out_tree, ndev), fh)
             os.replace(tmp, path)
-            _log(f"{self._name}-{sig}: stored {len(payload)/1e6:.1f} MB")
+            _log(f"{self._name}-{sig}: stored {len(payload)/1e6:.1f} MB "
+                 f"({ndev} dev)")
         except Exception as e:
             _log(f"{self._name}-{sig}: serialize failed ({e}); "
                  "running un-stored")

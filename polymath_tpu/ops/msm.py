@@ -51,7 +51,7 @@ from .curve_jax import (
 )
 
 SCALAR_BITS = 255
-_MSM_REV = "r5"  # traced-graph revision (see _msm_run_jit)
+_MSM_REV = "r6"  # traced-graph revision (see _msm_run_jit)
 PTS_PER_QUAD = 4       # packed points per 128-lane gather-table row
 _GATHER_BLK = 1024     # pallas_gather.BLK (import-free copy; asserted below)
 
@@ -108,8 +108,11 @@ def _scan_local_madd(px, py, seq: int, fast: bool):
 
     px, py: (L/2, W, n) 16-bit-PACKED sorted affine leaves (identity =
     (0,0)); leaves stay packed through HBM/VMEM, the madd kernel unpacks
-    at register level.  Returns (local (3 coords of (L, W, n)), totals
-    (3 of (L, W, rows)), err bool or None)."""
+    at register level.  The emitted local prefixes are ALSO 16-bit packed
+    (the pack fuses into the scan's emission copy): the threshold stage
+    then element-gathers half the rows and local HBM halves (~2.9 GB ->
+    1.45 GB per 2^19 chunk).  Returns (local (3 PACKED coords of
+    (L/2, W, n)), totals (3 unpacked of (L, W, rows)), err bool|None)."""
     Lh, W, n = px.shape
     seq = min(seq, n)
     rows = n // seq
@@ -125,10 +128,10 @@ def _scan_local_madd(px, py, seq: int, fast: bool):
         nxt, e = jac_madd_packed(acc, xy, fast=fast)
         if fast:
             err = err | e
-        return (nxt, err), nxt
+        return (nxt, err), tuple(pack_limbs(c) for c in nxt)
 
     (totals, err), local = jax.lax.scan(body, (acc0, err0), (pxr, pyr))
-    # local: 3 coords of (seq, L, W, rows) -> (L, W, n)
+    # local: 3 coords of (seq, L/2, W, rows) -> (L/2, W, n)
     Lq = local[0].shape[1]
     local = tuple(
         jnp.moveaxis(a, 0, -1).reshape(Lq, W, n) for a in local)
@@ -137,7 +140,7 @@ def _scan_local_madd(px, py, seq: int, fast: bool):
 
 def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
                seq: int | None = None, rowscan: str | None = None,
-               table_quads=None):
+               table_quads=None, fused: bool = False):
     """One chunk: (L/2, n) 16-bit-packed affine limbs + (16, n) canonical
     scalars -> (jacobian window sums with trailing axis `windows`,
     err bool|None).
@@ -158,7 +161,13 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
     # full-size where() (saves a ~0.5 GB masked copy per chunk): (0, 0)
     # is the affine identity encoding.
     idx = jnp.where(live, order, n)                  # (W, n)
-    if table_quads is not None:
+    if table_quads is not None and fused:
+        # fully fused gather+madd+emission kernel: the per-row gather
+        # work hides under the madd's vector work (pallas_scan.py)
+        from .pallas_scan import fused_scan_msm
+        local, totals, err = fused_scan_msm(table_quads, idx, seq, fast)
+        g = None
+    elif table_quads is not None:
         # VMEM-table Pallas gather emits limb-major (L, W, n) directly
         # (13 ns/row vs the XLA gather's ~23 ns/row + relayout)
         from .pallas_gather import gather_rows_quads
@@ -208,8 +217,12 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
         lambda a: jnp.searchsorted(a, t_vals, side="left"))(asc)
     cnt = (n - first_ge).astype(jnp.int32)           # (W, 2^c)
     pos = jnp.clip(cnt - 1, 0, n - 1)
+    # local is 16-bit packed: gather half the element rows, unpack the
+    # (tiny) threshold set afterwards
+    from .curve_jax import unpack_limbs
     loc_g = tuple(
-        jnp.take_along_axis(a, pos[None], axis=-1) for a in local)
+        unpack_limbs(jnp.take_along_axis(a, pos[None], axis=-1))
+        for a in local)
     if offs is not None:
         off_g = tuple(
             jnp.take_along_axis(a, (pos // seq)[None], axis=-1) for a in offs)

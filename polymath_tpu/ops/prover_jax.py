@@ -34,15 +34,32 @@ from .aot import aot_jit
 
 
 def fr_ints_to_mont_device(values):
-    """list of canonical ints -> (16, N) Montgomery limbs (device to_mont)."""
-    raw = jnp.asarray(ints_to_limbs([v % R for v in values], FR_SPEC.L))
-    return _to_mont_jit()(raw)
+    """list of canonical ints -> (16, N) Montgomery limbs (device to_mont).
+
+    The limbs travel h2d as uint16 (32 B/element, the canonical width)
+    and widen on device — at bench scale the z vector is ~67 MB as u32
+    and the tunnel h2d runs at a few tens of MB/s, so halving the bytes
+    halves the prover's h2d phase."""
+    import numpy as np
+    n = len(values)
+    nbytes = 2 * FR_SPEC.L
+    buf = b"".join((int(v) % R).to_bytes(nbytes, "little") for v in values)
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(n, FR_SPEC.L)
+    raw16 = jnp.asarray(np.ascontiguousarray(u16.T))
+    return _to_mont16_jit()(raw16)
 
 
 # aot_jit keys per input shape internally; one callable serves every size
 @lru_cache(maxsize=1)
 def _to_mont_jit():
     return aot_jit(FR.to_mont, "to_mont")
+
+
+@lru_cache(maxsize=1)
+def _to_mont16_jit():
+    def widen_to_mont(raw16):
+        return FR.to_mont(raw16.astype(jnp.uint32))
+    return aot_jit(widen_to_mont, "to_mont16")
 
 
 @lru_cache(maxsize=1)

@@ -332,10 +332,17 @@ class ProvingKey:
         pk = cls(vk, sap, *[vecs[name] for name in _PK_VECTORS])
         srs = {}
         packed = bool(meta.get("packed"))
-        for name in _PK_BIG:
-            # read into RAM first: device_put straight off a memmap was
-            # measured ~19 MB/s through the TPU tunnel (page-fault-paced
-            # streaming) vs ~77 MB/s disk + staged h2d
+
+        # Pipeline disk reads with tunnel uploads: a reader thread loads
+        # the next vector's npy files while the previous one streams to
+        # the device (the r4 serial read -> put -> sync loop measured
+        # 231 s for the 2.8 GB bench PK; h2d and disk each run at a few
+        # tens of MB/s here, so overlap roughly halves the wall).  All
+        # transfers are h2d only — no program outputs — so deferring the
+        # sync to the end cannot OOM HBM (see utils.config.device_sync).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _read(name):
             xs = np.load(os.path.join(path, name + "_x.npy"))
             ys = np.load(os.path.join(path, name + "_y.npy"))
             if not packed:
@@ -343,11 +350,16 @@ class ProvingKey:
                 # tunnel upload moves half the bytes
                 xs = xs[0::2] | (xs[1::2] << np.uint32(16))
                 ys = ys[0::2] | (ys[1::2] << np.uint32(16))
-            # upload one vector at a time (PJRT pre-allocates transfer
-            # buffers at dispatch; see utils.config.device_sync)
-            srs[name] = (jax.device_put(xs), jax.device_put(ys))
+            return xs, ys
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs = {name: ex.submit(_read, name) for name in _PK_BIG}
+            for name in _PK_BIG:
+                xs, ys = futs[name].result()
+                srs[name] = (jax.device_put(xs), jax.device_put(ys))
+                del xs, ys
+        for name in _PK_BIG:
             device_sync(srs[name])
-            del xs, ys
         pk.device["srs"] = srs
         coo = {}
         for tag in ("a", "b", "c"):
