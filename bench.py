@@ -94,8 +94,10 @@ def main():
             try:
                 os.makedirs(cache_dir, exist_ok=True)
                 t0 = time.time()
-                pk.save_npz(pk_path)
-                print(f"# setup: SRS cached to {pk_path} "
+                # straight to the raw-npy dir form (the r4 path wrote a
+                # legacy npz then converted: 399 s + 90 s at 2^21)
+                pk.save_dir(pk_dir)
+                print(f"# setup: SRS cached to {pk_dir} "
                       f"({time.time()-t0:.1f}s)", file=sys.stderr)
             except Exception as e:
                 print(f"# setup: SRS cache write failed: {e}", file=sys.stderr)

@@ -56,6 +56,19 @@ PTS_PER_QUAD = 4       # packed points per 128-lane gather-table row
 _GATHER_BLK = 1024     # pallas_gather.BLK (import-free copy; asserted below)
 
 
+def _fused_mode() -> bool:
+    """Fused gather+madd scan kernel (pallas_scan.py) vs the split
+    gather-kernel + lax.scan pipeline.  TPU default: fused."""
+    import os
+    env = os.environ.get("POLYMATH_MSM_FUSED", "")
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "on", "true"):
+        return True
+    from ..utils.config import on_tpu
+    return on_tpu()
+
+
 def _rowscan_mode() -> str:
     """Row-offset prefix strategy: 'tree' (log-depth Hillis-Steele, fat
     batches — TPU default) or 'seq' (two-level lax.scan — CPU default,
@@ -165,8 +178,8 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
         # fully fused gather+madd+emission kernel: the per-row gather
         # work hides under the madd's vector work (pallas_scan.py)
         from .pallas_scan import fused_scan_msm
+        assert n % seq == 0, (n, seq)
         local, totals, err = fused_scan_msm(table_quads, idx, seq, fast)
-        g = None
     elif table_quads is not None:
         # VMEM-table Pallas gather emits limb-major (L, W, n) directly
         # (13 ns/row vs the XLA gather's ~23 ns/row + relayout)
@@ -179,19 +192,19 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
             [xy_rows, jnp.zeros((1, 2 * Lh), jnp.uint32)], axis=0)
         g = xy_ext[idx.reshape(-1)]                      # (W*n, L)
         g = jnp.moveaxis(g.reshape(windows, n, 2 * Lh), -1, 0)  # (L, W, n)
-    Lh = g.shape[0] // 2
-    pad = (-n) % seq
-    if pad:
-        # pad with dead identity leaves (digit 0 at the tail keeps the
-        # descending order and leaves all threshold counts unchanged)
-        g = jnp.concatenate(
-            [g, jnp.zeros(g.shape[:-1] + (pad,), jnp.uint32)], axis=-1)
-        d_sorted = jnp.concatenate(
-            [d_sorted, jnp.zeros((windows, pad), jnp.int32)], axis=-1)
-        n += pad
-    px, py = g[:Lh], g[Lh:]
-
-    local, totals, err = _scan_local_madd(px, py, seq, fast)
+    if not (table_quads is not None and fused):
+        Lh = g.shape[0] // 2
+        pad = (-n) % seq
+        if pad:
+            # pad with dead identity leaves (digit 0 at the tail keeps
+            # the descending order and all threshold counts unchanged)
+            g = jnp.concatenate(
+                [g, jnp.zeros(g.shape[:-1] + (pad,), jnp.uint32)], axis=-1)
+            d_sorted = jnp.concatenate(
+                [d_sorted, jnp.zeros((windows, pad), jnp.int32)], axis=-1)
+            n += pad
+        px, py = g[:Lh], g[Lh:]
+        local, totals, err = _scan_local_madd(px, py, seq, fast)
     rows = n // seq
     if rows > 1:
         if (rowscan or _rowscan_mode()) == "tree":
@@ -239,7 +252,7 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
 
 def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
              fast: bool, mont: bool, seq: int, rowscan: str,
-             pallas_gather: bool):
+             pallas_gather: bool, fused: bool = False):
     """Whole MSM inside one trace: fori_loop over fixed-size chunks."""
     if mont:
         sc = FR.from_mont(sc)
@@ -261,7 +274,7 @@ def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
             tq = jax.lax.dynamic_slice_in_dim(quads, k * q, q, 0)
             tq = jnp.pad(tq, ((0, 1), (0, 128 - tq.shape[-1])))
             return _msm_chunk(None, None, sc_k, c, windows, fast, seq,
-                              rowscan, table_quads=tq)
+                              rowscan, table_quads=tq, fused=fused)
         xs_k = jax.lax.dynamic_slice_in_dim(xs, k * chunk, chunk, 1)
         ys_k = jax.lax.dynamic_slice_in_dim(ys, k * chunk, chunk, 1)
         return _msm_chunk(xs_k, ys_k, sc_k, c, windows, fast, seq, rowscan)
@@ -289,14 +302,15 @@ def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
 @lru_cache(maxsize=None)
 def _msm_run_jit(chunk: int, n_chunks: int, c: int, windows: int,
                  fast: bool, mont: bool, seq: int, rowscan: str,
-                 pallas_gather: bool):
+                 pallas_gather: bool, fused: bool = False):
     # inputs arrive pre-padded to n_chunks*chunk (msm_device), so the
     # program key is exactly (chunk, n_chunks, ...) — the prover's MSM
     # sizes {n, n+1, cols-m0, n-1, 10n+22} collapse to ~3 compiled
     # programs instead of one per exact length
     def run(xs, ys, sc):
         wsum, err = _msm_run(xs, ys, sc, chunk, n_chunks, c, windows,
-                             fast, mont, seq, rowscan, pallas_gather)
+                             fast, mont, seq, rowscan, pallas_gather,
+                             fused)
         return jnp.stack(wsum), err
     from .aot import aot_jit
     # _MSM_REV: bump on any change to the traced MSM graph — the AOT store
@@ -307,7 +321,8 @@ def _msm_run_jit(chunk: int, n_chunks: int, c: int, windows: int,
     return aot_jit(run, f"msm-{_MSM_REV}-{chunk}x{n_chunks}-c{c}w{windows}-"
                         f"{'fast' if fast else 'safe'}-"
                         f"{'mont' if mont else 'canon'}-s{seq}-"
-                        f"{rowscan}{'-pg' if pallas_gather else ''}")
+                        f"{rowscan}{'-pg' if pallas_gather else ''}"
+                        f"{'-fu' if fused else ''}")
 
 
 def _horner_windows_host(wsums, c: int, windows: int):
@@ -424,9 +439,12 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
     pg = bool(use_pallas()
               and chunk % (PTS_PER_QUAD * _GATHER_BLK) == 0
               and (windows * chunk) % _GATHER_BLK == 0)
+    seq_eff = min(_scan_seq(), chunk)
+    fused = bool(pg and _fused_mode() and chunk % seq_eff == 0
+                 and (chunk // seq_eff) % 8 == 0)
     wsums, err = _msm_run_jit(chunk, n_chunks, c, windows, fast, mont,
-                              min(_scan_seq(), chunk), _rowscan_mode(),
-                              pg)(xs, ys, scalars)
+                              seq_eff, _rowscan_mode(),
+                              pg, fused)(xs, ys, scalars)
     if fast:
         assert not bool(err), (
             "MSM madd collision: repeated base point hit the fast-mode "
