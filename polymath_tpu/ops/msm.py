@@ -51,22 +51,25 @@ from .curve_jax import (
 )
 
 SCALAR_BITS = 255
-_MSM_REV = "r6"  # traced-graph revision (see _msm_run_jit)
+_MSM_REV = "r7"  # traced-graph revision (see _msm_run_jit)
 PTS_PER_QUAD = 4       # packed points per 128-lane gather-table row
 _GATHER_BLK = 1024     # pallas_gather.BLK (import-free copy; asserted below)
 
 
+def _fused_tag() -> str:
+    from .pallas_scan import FUSED_REV
+    return f"-fu{FUSED_REV}"
+
+
 def _fused_mode() -> bool:
     """Fused gather+madd scan kernel (pallas_scan.py) vs the split
-    gather-kernel + lax.scan pipeline.  TPU default: fused."""
+    gather-kernel + lax.scan pipeline.  Default OFF: measured on v5e the
+    fused kernel exactly equals the split sum (211.5 vs 92.5 + 117.9 ms
+    per 2^18 chunk) — Mosaic serializes the scalar gather against the
+    madd vector work whether the gather is a fori_loop or fully unrolled
+    straight-line code, so the hoped-for overlap never materializes."""
     import os
-    env = os.environ.get("POLYMATH_MSM_FUSED", "")
-    if env in ("0", "off", "false"):
-        return False
-    if env in ("1", "on", "true"):
-        return True
-    from ..utils.config import on_tpu
-    return on_tpu()
+    return os.environ.get("POLYMATH_MSM_FUSED", "") in ("1", "on", "true")
 
 
 def _rowscan_mode() -> str:
@@ -165,8 +168,19 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
     n = scalars.shape[-1]
     seq = min(seq or _scan_seq(), n)
     digits = _digits(scalars, c, windows)            # (W, n)
-    order = jnp.argsort(-digits, axis=-1)            # descending per window
-    d_sorted = jnp.take_along_axis(digits, order, axis=-1)
+    shift = (n - 1).bit_length()
+    if c + shift <= 32:
+        # ONE u32 sort of (digit << shift | position) replaces
+        # argsort + take_along_axis: both the sorted digits and the
+        # gather order fall out of the same sorted key vector
+        iota = jax.lax.broadcasted_iota(jnp.uint32, (windows, n), 1)
+        key = (digits.astype(jnp.uint32) << shift) | iota
+        skey = jnp.flip(jnp.sort(key, axis=-1), axis=-1)
+        d_sorted = (skey >> shift).astype(jnp.int32)
+        order = (skey & jnp.uint32((1 << shift) - 1)).astype(jnp.int32)
+    else:
+        order = jnp.argsort(-digits, axis=-1)        # descending per window
+        d_sorted = jnp.take_along_axis(digits, order, axis=-1)
     live = d_sorted > 0
     # permute points into bucket order: one row-gather in (n, L) packed
     # layout (contiguous 96-byte rows — half the unpacked traffic).  Dead
@@ -231,14 +245,19 @@ def _msm_chunk(xs, ys, scalars, c: int, windows: int, fast: bool = False,
     cnt = (n - first_ge).astype(jnp.int32)           # (W, 2^c)
     pos = jnp.clip(cnt - 1, 0, n - 1)
     # local is 16-bit packed: gather half the element rows, unpack the
-    # (tiny) threshold set afterwards
+    # (tiny) threshold set afterwards.  The row offsets are packed the
+    # same way before their gather — as unpacked jacobians they were 72
+    # element-gather rows x W*2^c positions, the largest single cost of
+    # the threshold stage.
     from .curve_jax import unpack_limbs
     loc_g = tuple(
         unpack_limbs(jnp.take_along_axis(a, pos[None], axis=-1))
         for a in local)
     if offs is not None:
         off_g = tuple(
-            jnp.take_along_axis(a, (pos // seq)[None], axis=-1) for a in offs)
+            unpack_limbs(jnp.take_along_axis(
+                pack_limbs(a), (pos // seq)[None], axis=-1))
+            for a in offs)
         ps_g = jac_add(loc_g, off_g)                 # general add at thresholds
     else:
         ps_g = loc_g
@@ -322,15 +341,20 @@ def _msm_run_jit(chunk: int, n_chunks: int, c: int, windows: int,
                         f"{'fast' if fast else 'safe'}-"
                         f"{'mont' if mont else 'canon'}-s{seq}-"
                         f"{rowscan}{'-pg' if pallas_gather else ''}"
-                        f"{'-fu' if fused else ''}")
+                        f"{_fused_tag() if fused else ''}")
 
 
 def _horner_windows_host(wsums, c: int, windows: int):
-    """acc = sum_w 2^(c w) W_w, Horner from the top window.  Host-side:
-    `windows` points is O(windows * c) tiny group ops — not worth a device
-    program (and a batch-1 device graph would dominate compile time)."""
-    from ..hostmath import bls12_381 as bls
+    """acc = sum_w 2^(c w) W_w.  Host-side: `windows` points is
+    O(windows * c) tiny group ops — not worth a device program (a batch-1
+    device graph would dominate compile time).  Runs as a native C++ MSM
+    with power-of-two scalars when available (the pure-Python Horner cost
+    ~150 ms per MSM — four times per proof)."""
     pts = jac_to_host(wsums)  # list of affine, one per window
+    if c * (windows - 1) < 255:
+        from ..native import g1_msm
+        return g1_msm(pts, [1 << (c * w) for w in range(windows)])
+    from ..hostmath import bls12_381 as bls
     acc = None
     for w in range(windows - 1, -1, -1):
         if acc is not None:
@@ -486,7 +510,8 @@ def _host_tail_msm(xs, ys, scalars, lo: int, m: int, mont: bool):
     live_s = [s for p, s in zip(pts, sc) if p is not None and s]
     if not live_p:
         return None
-    return bls.G1.msm(live_p, live_s)
+    from ..native import g1_msm
+    return g1_msm(live_p, live_s)
 
 
 DEVICE_MSM_MIN = 256  # below this the host Pippenger wins (no compile)

@@ -53,6 +53,7 @@ from ..utils.config import pallas_interpret
 from .limbs import FQ_SPEC
 from .ll import LL_FQ, ll_jac_madd
 
+FUSED_REV = "b"        # bump on fused-kernel graph changes (AOT naming)
 L = FQ_SPEC.L          # 24 u32 limbs per Fq coordinate
 LH = L // 2            # 16-bit packed rows per coordinate
 ROW_U32 = 2 * LH       # packed point row: x || y
@@ -60,20 +61,32 @@ PTS_PER_VROW = 4
 SUB = 8                # sublane grouping of the row axis
 
 
-def _fused_kernel(seq: int, windows: int, rows: int, fast: bool):
+def _fused_kernel(seq: int, windows: int, rows: int, fast: bool,
+                  full_unroll: bool = True):
     unroll = min(8, rows)
     C = rows // SUB
 
     def gather_raw(idx_ref, table_ref, raw_ref):
-        def body(k, carry):
-            base = pl.multiple_of(k * unroll, unroll)
+        def body8(base):
             blk = []
             for u in range(unroll):
                 i = idx_ref[0, 0, 0, base + u]
                 blk.append(table_ref[pl.ds(i // PTS_PER_VROW, 1), :])
             raw_ref[pl.ds(base, unroll), :] = jnp.concatenate(blk, 0)
-            return carry
-        jax.lax.fori_loop(0, rows // unroll, body, 0)
+
+        if full_unroll:
+            # flat straight-line code: a fori_loop is a scheduling region
+            # Mosaic will NOT interleave with the madd's vector work
+            # (measured: fused-with-loop == split-sum, zero overlap), but
+            # an unrolled gather joins the step's dataflow DAG and can
+            # co-issue on the scalar/load slots under the madd ALU ops
+            for k in range(rows // unroll):
+                body8(k * unroll)
+        else:
+            def body(k, carry):
+                body8(pl.multiple_of(k * unroll, unroll))
+                return carry
+            jax.lax.fori_loop(0, rows // unroll, body, 0)
 
     def extract(raw_ref, idxv_ref, stage, w):
         """raw (rows, 128) quads -> stage[w] = (24, 8, C) packed points."""

@@ -352,8 +352,18 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
 
     ujwj = art.srs["uj_wj_lcs_by_y_alpha_g1"]
     with phase("prover::msm c_g1 (cols-m0, n-1)"):
-        c_w = msm_device(ujwj[0], ujwj[1], s1["z"][:, m0:],
-                         mont=True, n_eff=cols - m0)
+        # uj_wj bases are not distinct-by-construction (duplicate SAP
+        # columns are possible), but collisions are detected exactly by
+        # the fast-mode flag — run fast optimistically and redo in safe
+        # mode only if a collision actually fired (~30% madd saving on
+        # this MSM for typical circuits; the safe program class then
+        # never even compiles)
+        try:
+            c_w = msm_device(ujwj[0], ujwj[1], s1["z"][:, m0:],
+                             mont=True, fast=True, n_eff=cols - m0)
+        except AssertionError:
+            c_w = msm_device(ujwj[0], ujwj[1], s1["z"][:, m0:],
+                             mont=True, n_eff=cols - m0)
         zh = art.srs["x_powers_zh_by_y_alpha_g1"]
         c_h = msm_device(zh[0], zh[1], s1["h_num"][:, n:2 * n - 1],
                          mont=True, fast=True, n_eff=n - 1)
