@@ -84,11 +84,16 @@ def _rowscan_mode() -> str:
     return "tree" if on_tpu() else "seq"
 
 
-def _scan_seq() -> int:
+def _scan_seq(chunk: int | None = None) -> int:
     import os
-    # 128: halves the row-offset recursion vs 64 while the scan stays
-    # (W * rows)-wide = 19*2048 lanes at the default chunk — VPU-saturating
-    return int(os.environ.get("POLYMATH_MSM_SEQ", 128))
+    env = os.environ.get("POLYMATH_MSM_SEQ")
+    if env:
+        return int(env)
+    # keep rows = chunk/seq at 2048: the scan stays 45k lanes wide
+    # (VPU-saturating) and the row-offset tree stays 11 levels
+    if chunk is not None and chunk >= (1 << 19):
+        return 256
+    return 128
 
 
 def _window_params(n: int):
@@ -106,9 +111,9 @@ def _window_params(n: int):
     elif n <= 4096:
         c = 8
     else:
-        # measured on TPU v5e at 2^21 points, 2^18 chunks: c=12 -> 0.884
-        # Mpts/s vs c=13 0.863, c=14 0.747 (the W*2^c threshold gather
-        # dominates at larger c; the W*n scan/gather at smaller c)
+        # r5 sweep on TPU v5e at 2^21 points (r7 graph): chunk 2^19
+        # c13/seq256 1.348 Mpts/s > c12 1.336; at chunk 2^18 c12 1.228 >
+        # c13 1.170 — c = log2(chunk) - 6 tracks both optima
         c = min(14, max(8, int(np.log2(max(n, 2))) - 6))
     windows = (SCALAR_BITS + c - 1) // c
     return c, windows
@@ -368,17 +373,16 @@ def _default_chunk() -> int:
     """MSM streaming chunk (points per fori_loop step).
 
     Larger chunks amortize the per-chunk costs that do NOT scale with
-    points (threshold gather + window fold are W*2^c each, the row-offset
-    recursion is launch-bound) over more points, at the price of larger
-    scan transients in HBM (~5.5 KB/point at c=14).  2^18 measured
-    FASTER than 2^19 in r4 (0.884 vs 0.605 Mpts/s at c<=13 — the XLA
-    row gather degraded with table size); re-sweep after gather/scan
-    kernel changes before moving this."""
+    points (sort, threshold gather, window fold, row-offset tree) over
+    more points.  r4's XLA row gather degraded with table size (2^19
+    LOST, 0.605 vs 0.884 Mpts/s); the r5 Pallas VMEM-table gather does
+    not, and 2^19 now wins (1.348 vs 1.228).  2^19 is also the VMEM
+    ceiling: the gather table is 64 MB resident."""
     import os
     return int(os.environ.get("POLYMATH_MSM_CHUNK", DEFAULT_CHUNK))
 
 
-DEFAULT_CHUNK = 1 << 18
+DEFAULT_CHUNK = 1 << 19
 MIN_CHUNK = 1 << 6  # CPU floor: small programs compile fast on XLA:CPU
 CPU_MAX_CHUNK = 1 << 12
 
@@ -463,7 +467,7 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
     pg = bool(use_pallas()
               and chunk % (PTS_PER_QUAD * _GATHER_BLK) == 0
               and (windows * chunk) % _GATHER_BLK == 0)
-    seq_eff = min(_scan_seq(), chunk)
+    seq_eff = min(_scan_seq(chunk), chunk)
     fused = bool(pg and _fused_mode() and chunk % seq_eff == 0
                  and (chunk // seq_eff) % 8 == 0)
     wsums, err = _msm_run_jit(chunk, n_chunks, c, windows, fast, mont,
