@@ -40,7 +40,7 @@ def main():
         "POLYMATH_BENCH_CONSTRAINTS", (1 << 20) - 100))
     num_variables = int(os.environ.get(
         "POLYMATH_BENCH_VARIABLES", num_constraints))
-    reps = int(os.environ.get("POLYMATH_BENCH_REPS", 2))
+    reps = int(os.environ.get("POLYMATH_BENCH_REPS", 3))
 
     # persistent XLA compile cache (~/.cache/polymath_jax) is enabled on
     # polymath_tpu.ops import; SRS cache below makes setup a one-time cost.

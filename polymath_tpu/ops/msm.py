@@ -282,7 +282,7 @@ def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
         sc = FR.from_mont(sc)
 
     quads = None
-    if pallas_gather:
+    if pallas_gather and n_chunks < 16:
         # one row-major relayout of the used prefix per MSM (a few ms,
         # amortized over all chunks) so each chunk's gather table is a
         # plain quad-row slice — no per-chunk transpose
@@ -296,6 +296,19 @@ def _msm_run(xs, ys, sc, chunk: int, n_chunks: int, c: int, windows: int,
         if quads is not None:
             q = chunk // PTS_PER_QUAD
             tq = jax.lax.dynamic_slice_in_dim(quads, k * q, q, 0)
+            tq = jnp.pad(tq, ((0, 1), (0, 128 - tq.shape[-1])))
+            return _msm_chunk(None, None, sc_k, c, windows, fast, seq,
+                              rowscan, table_quads=tq, fused=fused)
+        if pallas_gather:
+            # many-chunk MSMs (the ~10n d-basis) build the quad table
+            # per chunk instead: a whole-MSM relayout is a multi-GB HBM
+            # resident that OOM'd the 40-chunk class's compile at chunk
+            # 2^19; per-chunk it is a ~50 MB transient and ~2 ms
+            xs_k = jax.lax.dynamic_slice_in_dim(xs, k * chunk, chunk, 1)
+            ys_k = jax.lax.dynamic_slice_in_dim(ys, k * chunk, chunk, 1)
+            rows_k = jnp.concatenate([xs_k, ys_k], axis=0).T
+            tq = rows_k.reshape(chunk // PTS_PER_QUAD,
+                                PTS_PER_QUAD * rows_k.shape[-1])
             tq = jnp.pad(tq, ((0, 1), (0, 128 - tq.shape[-1])))
             return _msm_chunk(None, None, sc_k, c, windows, fast, seq,
                               rowscan, table_quads=tq, fused=fused)
@@ -387,9 +400,44 @@ MIN_CHUNK = 1 << 6  # CPU floor: small programs compile fast on XLA:CPU
 CPU_MAX_CHUNK = 1 << 12
 
 
+class MsmPending:
+    """Deferred MSM result: the device program is dispatched, the host
+    combine (error check, window Horner, tail) happens at .result().
+
+    Lets callers queue several independent MSM programs back-to-back so
+    the device never idles while the host runs each ~0.1 s combine
+    (dispatch through the remote-TPU tunnel is asynchronous; only D2H
+    pulls block)."""
+
+    def __init__(self, wsums, err, fast, c, windows, tail_dev, mont):
+        self._w = wsums
+        self._err = err
+        self._fast = fast
+        self._c = c
+        self._windows = windows
+        self._tail_dev = tail_dev
+        self._mont = mont
+
+    def result(self):
+        if self._fast:
+            assert not bool(self._err), (
+                "MSM madd collision: repeated base point hit the "
+                "fast-mode doubling skip; rerun with fast=False")
+        out = _horner_windows_host(tuple(self._w), self._c, self._windows)
+        if self._tail_dev is not None:
+            tail_pt = _host_tail_rows(np.asarray(self._tail_dev),
+                                      self._mont)
+            if tail_pt is not None:
+                from ..hostmath import bls12_381 as bls
+                out = bls.G1.add(out, tail_pt)
+        return out
+
+
 def msm_device(xs, ys, scalars, chunk: int | None = None,
-               fast: bool = False, mont: bool = False, n_eff: int | None = None):
-    """MSM over device arrays -> host affine point.
+               fast: bool = False, mont: bool = False,
+               n_eff: int | None = None, defer: bool = False):
+    """MSM over device arrays -> host affine point (or MsmPending with
+    defer=True).
 
     xs, ys: (24, N) affine Montgomery limbs, or (12, N) 16-bit-packed
     (pack_limbs — the form SRS vectors are stored in; unpacked inputs are
@@ -438,26 +486,29 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
     _tail_env = _os.environ.get("POLYMATH_MSM_TAIL", "")
     _tail_on = (_on_tpu() if _tail_env == "" else
                 _tail_env not in ("0", "off", "false"))
+    tail_rows = None
     if _tail_on and m > chunk:
         lo = (m // chunk) * chunk
         t = m - lo
         if 0 < t <= 64:
-            tail_pt = _host_tail_msm(xs, ys, scalars, lo, m, mont)
+            tail_rows = (lo, m)
             m = lo
     n_chunks = max(1, (m + chunk - 1) // chunk)
     lim = n_chunks * chunk
     # scalars travel at exactly n_chunks*chunk (zero digits are inert);
     # bases are NEVER sliced — the fori_loop reads a prefix of whatever
     # is stored (pre-padded SRS keeps its full aval, which keys the AOT
-    # program class together with the chunk count)
-    if scalars.shape[-1] != lim:
-        if scalars.shape[-1] < lim:
-            scalars = jnp.concatenate(
-                [scalars,
-                 jnp.zeros((scalars.shape[0], lim - scalars.shape[-1]),
-                           jnp.uint32)], axis=1)
-        else:
-            scalars = scalars[:, :lim]
+    # program class together with the chunk count).  The scalar pad/slice
+    # and the tail-row extraction run as ONE jitted program: each eager
+    # dispatch through the remote-TPU tunnel costs ~60 ms, and the r/c/d
+    # MSMs were paying 3-4 of them per call.
+    tail_dev = None
+    if tail_rows is not None or scalars.shape[-1] != lim:
+        lo_m = tail_rows or (0, 0)
+        scalars, tail = _prep_jit(
+            lim, lo_m[0], lo_m[1], scalars.shape[-1])(xs, ys, scalars)
+        if tail_rows is not None:
+            tail_dev = tail
     if xs.shape[-1] < lim:
         z24 = jnp.zeros((xs.shape[0], lim - xs.shape[-1]), jnp.uint32)
         xs = jnp.concatenate([xs, z24], axis=1)
@@ -473,27 +524,43 @@ def msm_device(xs, ys, scalars, chunk: int | None = None,
     wsums, err = _msm_run_jit(chunk, n_chunks, c, windows, fast, mont,
                               seq_eff, _rowscan_mode(),
                               pg, fused)(xs, ys, scalars)
-    if fast:
-        assert not bool(err), (
-            "MSM madd collision: repeated base point hit the fast-mode "
-            "doubling skip; rerun with fast=False")
-    out = _horner_windows_host(tuple(wsums), c, windows)
-    if tail_pt is not None:
-        from ..hostmath import bls12_381 as bls
-        out = bls.G1.add(out, tail_pt)
-    return out
+    pending = MsmPending(wsums, err, fast, c, windows, tail_dev, mont)
+    if defer:
+        return pending
+    return pending.result()
 
 
-def _host_tail_msm(xs, ys, scalars, lo: int, m: int, mont: bool):
-    """Host Pippenger over base rows [lo, m) pulled from device (tiny)."""
+from functools import lru_cache as _lru
+
+
+@_lru(maxsize=None)
+def _prep_jit(lim: int, lo: int, m: int, src_cols: int):
+    """One jitted program for the per-MSM scalar pad/slice + tail-row
+    extraction (eager versions cost ~60 ms dispatch EACH via the tunnel)."""
+    def run(xs, ys, sc):
+        if src_cols < lim:
+            sc2 = jnp.concatenate(
+                [sc, jnp.zeros((sc.shape[0], lim - src_cols), jnp.uint32)],
+                axis=1)
+        elif src_cols > lim:
+            sc2 = sc[:, :lim]
+        else:
+            sc2 = sc
+        tail = jnp.concatenate(
+            [xs[:, lo:m], ys[:, lo:m], sc[:, lo:m]], axis=0)
+        return sc2, tail
+    return jax.jit(run)
+
+
+def _host_tail_rows(arr, mont: bool):
+    """Host Pippenger over the pulled (12+12+16, t) packed tail rows."""
     import numpy as np
     from .limbs import FQ_SPEC, FR_SPEC, limbs_to_ints
     from ..hostmath import bls12_381 as bls
     from ..hostmath.bls12_381 import Fq
 
-    txs = np.asarray(xs[:, lo:m])
-    tys = np.asarray(ys[:, lo:m])
-    tsc = np.asarray(scalars[:, lo:m])
+    Lh = FQ_SPEC.L // 2
+    txs, tys, tsc = arr[:Lh], arr[Lh:2 * Lh], arr[2 * Lh:]
 
     def unpack(a):
         out = np.zeros((a.shape[0] * 2, a.shape[1]), np.uint32)
@@ -501,8 +568,7 @@ def _host_tail_msm(xs, ys, scalars, lo: int, m: int, mont: bool):
         out[1::2] = a >> np.uint32(16)
         return out
 
-    if txs.shape[0] == FQ_SPEC.L // 2:   # 16-bit packed rows
-        txs, tys = unpack(txs), unpack(tys)
+    txs, tys = unpack(txs), unpack(tys)
     pts = []
     for x, y in zip(limbs_to_ints(txs), limbs_to_ints(tys)):
         xv, yv = FQ_SPEC.from_mont_int(x), FQ_SPEC.from_mont_int(y)

@@ -325,48 +325,54 @@ def create_proof_device(circuit, pk, rng, transcript_cls) -> Proof:
     # uj_wj columns CAN repeat (structurally identical circuit columns,
     # e.g. the bench a/b witnesses), so the c_w MSM keeps the total group
     # law (fast=False).
+    # The a/r/c_w/c_h MSMs are independent given stage1: DISPATCH all
+    # four device programs back-to-back (async through the tunnel), THEN
+    # finalize — the device never idles while the host runs each ~0.1 s
+    # combine (Horner, tail, error pull).
     xp = art.srs["x_powers_g1"]
-    with phase("prover::msm a_g1 (n)"):
-        a_u = msm_device(xp[0], xp[1], s1["u_coeffs"],
-                         mont=True, fast=True, n_eff=n)
-    # host: tiny r_a MSMs over the 3/2-element SRS vectors
-    a_ra = bls.G1.msm(pk.x_powers_y_alpha_g1, [ra0_i, ra1_i])
-    a_g1 = bls.G1.add(a_u, a_ra)
-
-    # r_g1 = msm(2 r_a u, x_powers) + msm(r_a^2, y_alpha) + msm(r_a, y_gamma)
-    tr0 = mont_scalar(2 * ra0_i % R)
-    tr1 = mont_scalar(2 * ra1_i % R)
-    u_lo = jnp.concatenate([s1["u_coeffs"], FR.zeros((1,))], axis=1)
-    u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
-    two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
-    del u_lo, u_sh
-    with phase("prover::msm r_g1 (n+1)"):
-        r_big = msm_device(xp[0], xp[1], two_ra_u,
-                           mont=True, fast=True, n_eff=n + 1)
-    del two_ra_u
-    ra_sq = [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R, ra1_i * ra1_i % R]
-    r_small = bls.G1.add(
-        bls.G1.msm(pk.x_powers_y_alpha_g1, ra_sq),
-        bls.G1.msm(pk.x_powers_y_gamma_g1, [ra0_i, ra1_i]))
-    r_g1 = bls.G1.add(r_big, r_small)
-
-    ujwj = art.srs["uj_wj_lcs_by_y_alpha_g1"]
-    with phase("prover::msm c_g1 (cols-m0, n-1)"):
+    with phase("prover::msm a+r+c dispatch"):
+        p_a = msm_device(xp[0], xp[1], s1["u_coeffs"],
+                         mont=True, fast=True, n_eff=n, defer=True)
+        tr0 = mont_scalar(2 * ra0_i % R)
+        tr1 = mont_scalar(2 * ra1_i % R)
+        u_lo = jnp.concatenate([s1["u_coeffs"], FR.zeros((1,))], axis=1)
+        u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
+        two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
+        del u_lo, u_sh
+        p_r = msm_device(xp[0], xp[1], two_ra_u,
+                         mont=True, fast=True, n_eff=n + 1, defer=True)
+        del two_ra_u
+        ujwj = art.srs["uj_wj_lcs_by_y_alpha_g1"]
         # uj_wj bases are not distinct-by-construction (duplicate SAP
         # columns are possible), but collisions are detected exactly by
         # the fast-mode flag — run fast optimistically and redo in safe
         # mode only if a collision actually fired (~30% madd saving on
         # this MSM for typical circuits; the safe program class then
         # never even compiles)
+        p_cw = msm_device(ujwj[0], ujwj[1], s1["z"][:, m0:],
+                          mont=True, fast=True, n_eff=cols - m0, defer=True)
+        zh = art.srs["x_powers_zh_by_y_alpha_g1"]
+        p_ch = msm_device(zh[0], zh[1], s1["h_num"][:, n:2 * n - 1],
+                          mont=True, fast=True, n_eff=n - 1, defer=True)
+
+    with phase("prover::msm a+r+c finalize"):
+        a_u = p_a.result()
+        # host: tiny r_a MSMs over the 3/2-element SRS vectors
+        a_ra = bls.G1.msm(pk.x_powers_y_alpha_g1, [ra0_i, ra1_i])
+        a_g1 = bls.G1.add(a_u, a_ra)
+        r_big = p_r.result()
+        ra_sq = [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R,
+                 ra1_i * ra1_i % R]
+        r_small = bls.G1.add(
+            bls.G1.msm(pk.x_powers_y_alpha_g1, ra_sq),
+            bls.G1.msm(pk.x_powers_y_gamma_g1, [ra0_i, ra1_i]))
+        r_g1 = bls.G1.add(r_big, r_small)
         try:
-            c_w = msm_device(ujwj[0], ujwj[1], s1["z"][:, m0:],
-                             mont=True, fast=True, n_eff=cols - m0)
+            c_w = p_cw.result()
         except AssertionError:
             c_w = msm_device(ujwj[0], ujwj[1], s1["z"][:, m0:],
                              mont=True, n_eff=cols - m0)
-        zh = art.srs["x_powers_zh_by_y_alpha_g1"]
-        c_h = msm_device(zh[0], zh[1], s1["h_num"][:, n:2 * n - 1],
-                         mont=True, fast=True, n_eff=n - 1)
+        c_h = p_ch.result()
     c_g1 = bls.G1.add(bls.G1.add(c_w, c_h), r_g1)
 
     # -- Fiat-Shamir round 1 ---------------------------------------------
