@@ -20,10 +20,12 @@ mesh at tiny n to validate the collective layout (SURVEY.md §4).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..hostmath import bls12_381 as bls
 from ..hostmath.bls12_381 import R
@@ -85,6 +87,24 @@ def _msm_mesh_jit(mesh, npts: int):
 def _from_mont_jit():
     from ..ops.aot import aot_jit
     return aot_jit(FR.from_mont, "from_mont")
+
+
+# Below this domain size the post-stage1 scalar algebra (2*r_a*u, u(x1),
+# the D(X) numerator assembly and its synthetic division) runs as plain
+# host Python instead of the four single-device programs
+# (_tru/_eval/_stage2/_divide).  At n = 64 (driver dryrun) and n = 2^12
+# (pytest sharded e2e) the host work is milliseconds, while each of those
+# program classes costs an XLA:CPU trace+lower+compile on a small host —
+# the r4 multichip driver artifact timed out on exactly this overhead
+# (r4 VERDICT missing #2).  Real-scale meshes (n above the threshold)
+# keep the device path.
+_HOST_TAIL_N = int(os.environ.get("POLYMATH_SHARDED_HOST_TAIL_N", str(1 << 13)))
+
+
+def _limbs_to_field_ints(arr) -> list[int]:
+    """(16, N) Montgomery limb array -> canonical field ints on host."""
+    from ..ops.limbs import FR_SPEC, limbs_to_ints
+    return [FR_SPEC.from_mont_int(v) for v in limbs_to_ints(np.asarray(arr))]
 
 
 @lru_cache(maxsize=None)
@@ -187,11 +207,22 @@ def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
     a_ra = bls.G1.msm(pk.x_powers_y_alpha_g1, [ra0_i, ra1_i])
     a_g1 = bls.G1.add(a_u, a_ra)
 
-    tr0 = mont_scalar(2 * ra0_i % R)
-    tr1 = mont_scalar(2 * ra1_i % R)
-    u_lo = jnp.concatenate([s1["u_coeffs"], FR.zeros((1,))], axis=1)
-    u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
-    two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
+    host_tail = n <= _HOST_TAIL_N
+    if host_tail:
+        u_int = _limbs_to_field_ints(s1["u_coeffs"])
+        t0 = 2 * ra0_i % R
+        t1 = 2 * ra1_i % R
+        two_ra_u_int = [
+            ((t0 * u_int[i] if i < n else 0)
+             + (t1 * u_int[i - 1] if i >= 1 else 0)) % R
+            for i in range(n + 1)]
+        two_ra_u = fr_ints_to_mont_device(two_ra_u_int)
+    else:
+        tr0 = mont_scalar(2 * ra0_i % R)
+        tr1 = mont_scalar(2 * ra1_i % R)
+        u_lo = jnp.concatenate([s1["u_coeffs"], FR.zeros((1,))], axis=1)
+        u_sh = jnp.concatenate([FR.zeros((1,)), s1["u_coeffs"]], axis=1)
+        two_ra_u = _tru_jit(n)(tr0, tr1, u_lo, u_sh)
     r_big = _msm_mesh(xp, two_ra_u, mesh, n + 1, pad_to)
     ra_sq = [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R, ra1_i * ra1_i % R]
     r_small = bls.G1.add(
@@ -211,22 +242,53 @@ def create_proof_sharded(circuit, pk, rng, transcript_cls, mesh) -> Proof:
     y1_alpha = common.neg_power(y1, MINUS_ALPHA)
     y1_gamma = common.neg_power(y1, MINUS_GAMMA)
 
-    u_at_x1 = mont_to_int(_eval_jit(n)(s1["u_coeffs"], mont_scalar(x1)))
+    if host_tail:
+        from ..protocol.poly_host import poly_eval, synthetic_divide
+        u_at_x1 = poly_eval(u_int, x1)
+    else:
+        u_at_x1 = mont_to_int(_eval_jit(n)(s1["u_coeffs"], mont_scalar(x1)))
     a_at_x1 = (u_at_x1 + (ra0_i + ra1_i * x1) * y1_alpha) % R
     pi_at_x1 = common.compute_pi_at_x1(pk.vk, instance, x1, y1_gamma)
     c_at_x1 = common.compute_c_at_x1(y1_gamma, y1_alpha, a_at_x1, pi_at_x1)
 
     x2 = common.compute_x2(t, x1, [a_at_x1, c_at_x1])
 
-    eval_sum = mont_scalar((a_at_x1 + x2 * c_at_x1) % R)
-    x1_m = mont_scalar(x1)
-    dnum = _stage2_jit(n, sigma, d_len)(
-        s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
-        mont_scalar(ra0_i), mont_scalar(ra1_i),
-        x1_m, mont_scalar(x2), eval_sum)
-    q_mont, rem = _divide_jit(d_len)(dnum, x1_m)
-    assert mont_to_int(rem) == 0, \
-        "quotient division by (X - x1) must be exact"
+    if host_tail:
+        # same block layout as _stage2_jit (reference prover.rs:142-225)
+        wu_int = _limbs_to_field_ints(s1["wu_coeffs"])
+        w_int = _limbs_to_field_ints(s1["w_coeffs"])
+        hnum_int = _limbs_to_field_ints(s1["h_num"])
+        s = sigma
+        dnum_h = [0] * d_len
+
+        def addb(off, coeffs, scale=1):
+            for i, cv in enumerate(coeffs):
+                if cv:
+                    dnum_h[off + i] = (dnum_h[off + i] + cv * scale) % R
+
+        addb(5 * s, u_int)
+        addb(2 * s, [ra0_i, ra1_i])
+        addb(3 * s, wu_int, x2)
+        addb(8 * s, w_int, x2)
+        addb(8 * s, hnum_int[:2 * n - 1], x2)
+        addb(5 * s, two_ra_u_int, x2)
+        addb(2 * s, [ra0_i * ra0_i % R, 2 * ra0_i * ra1_i % R,
+                     ra1_i * ra1_i % R], x2)
+        addb(0, [ra0_i, ra1_i], x2)
+        dnum_h[5 * s] = (dnum_h[5 * s] - (a_at_x1 + x2 * c_at_x1)) % R
+        q_int, rem_h = synthetic_divide(dnum_h, x1)
+        assert rem_h == 0, "quotient division by (X - x1) must be exact"
+        q_mont = fr_ints_to_mont_device(q_int)
+    else:
+        eval_sum = mont_scalar((a_at_x1 + x2 * c_at_x1) % R)
+        x1_m = mont_scalar(x1)
+        dnum = _stage2_jit(n, sigma, d_len)(
+            s1["u_coeffs"], s1["wu_coeffs"], s1["w_coeffs"], s1["h_num"],
+            mont_scalar(ra0_i), mont_scalar(ra1_i),
+            x1_m, mont_scalar(x2), eval_sum)
+        q_mont, rem = _divide_jit(d_len)(dnum, x1_m)
+        assert mont_to_int(rem) == 0, \
+            "quotient division by (X - x1) must be exact"
 
     ygz = art.srs["x_powers_y_gamma_z_g1"]
     d_g1 = _msm_mesh(ygz, q_mont, mesh, d_len - 1, pad_to)
