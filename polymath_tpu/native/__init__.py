@@ -26,7 +26,12 @@ def _build() -> bool:
         newest_src = max(os.path.getmtime(s) for s in _SOURCES)
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest_src:
             return True
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _SO] + _SOURCES
+        # -march=native: the pairing/MSM hot loops are 64x64->128 mul
+        # chains (CIOS); letting gcc use ADX/BMI2 on the build host is
+        # worth ~15-20% of verify latency.  The .so is machine-local
+        # (never shipped), so native codegen is safe.
+        cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
+               "-shared", "-fPIC", "-o", _SO] + _SOURCES
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return True
     except Exception:
